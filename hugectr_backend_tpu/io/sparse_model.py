@@ -1,0 +1,153 @@
+"""Sparse model file format: binary `key` + `emb_vector` pairs.
+
+On-disk format is byte-compatible with the reference
+(reference docs/architecture.md:185-218 and the writer in reference
+samples/hps-triton-ensemble/01_model_training.ipynb `convert_to_sparse_model`):
+
+    <table_dir>/
+        key         : int64 little-endian (native), one per row, any order
+        emb_vector  : float32 little-endian, embedding_dim per row, 1:1 with key
+
+A quantized sidecar variant (TPU-native extension for parity-testable INT8/FP8
+deployments) adds:
+
+    <table_dir>/
+        emb_vector.q8      : int8 row-quantized values (rows x dim)
+        emb_vector.scale   : float32 per-row scale (rows)
+        quant_meta.json    : {"format": "int8-rowwise"|"fp8e4m3-rowwise", "dim": D}
+
+Remote-FS prefixes (hdfs://, s3://, gs://) are recognized and rejected with a
+clear error rather than silently mangled (the reference supports them via its
+FileSystem layer, docs/hierarchical_parameter_server.md:189; local + NFS paths
+cover this build's test surface).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+_REMOTE_PREFIXES = ("hdfs://", "s3://", "gs://", "https://", "http://")
+
+
+@dataclasses.dataclass
+class SparseModelTable:
+    """An embedding table loaded from (or destined for) disk."""
+
+    keys: np.ndarray  # int64 [rows]
+    vectors: np.ndarray  # float32 [rows, dim]
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.keys.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.vectors.shape[1]) if self.vectors.ndim == 2 else 0
+
+
+def _check_local(path: str | os.PathLike) -> Path:
+    s = str(path)
+    for p in _REMOTE_PREFIXES:
+        if s.startswith(p):
+            raise NotImplementedError(
+                f"Remote filesystem path {s!r} is not supported in this build; "
+                "stage the sparse model to a local path first."
+            )
+    return Path(s)
+
+
+def write_sparse_model(
+    table_dir: str | os.PathLike,
+    keys: np.ndarray,
+    vectors: np.ndarray,
+) -> None:
+    """Write a table in the reference's binary format (docs/architecture.md:185-218)."""
+    d = _check_local(table_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    keys = np.ascontiguousarray(np.asarray(keys, dtype="<i8"))
+    vectors = np.ascontiguousarray(np.asarray(vectors, dtype="<f4"))
+    if keys.ndim != 1:
+        raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
+    if vectors.ndim != 2 or vectors.shape[0] != keys.shape[0]:
+        raise ValueError(
+            f"vectors must be [num_keys, dim]; got {vectors.shape} for {keys.shape[0]} keys"
+        )
+    (d / "key").write_bytes(keys.tobytes())
+    (d / "emb_vector").write_bytes(vectors.tobytes())
+
+
+def read_sparse_model(
+    table_dir: str | os.PathLike,
+    embedding_dim: int | None = None,
+) -> SparseModelTable:
+    """Read a table written by `write_sparse_model` or by the reference's trainer.
+
+    If ``embedding_dim`` is None it is inferred from file sizes
+    (len(emb_vector)/4 must divide evenly by len(key)/8).
+    """
+    d = _check_local(table_dir)
+    key_path = d / "key"
+    vec_path = d / "emb_vector"
+    if not key_path.exists() or not vec_path.exists():
+        raise FileNotFoundError(
+            f"Sparse model dir {d} must contain 'key' and 'emb_vector' files "
+            "(reference docs/architecture.md:185-218)"
+        )
+    keys = np.frombuffer(key_path.read_bytes(), dtype="<i8")
+    flat = np.frombuffer(vec_path.read_bytes(), dtype="<f4")
+    n = keys.shape[0]
+    if n == 0:
+        dim = embedding_dim or 0
+        return SparseModelTable(keys=keys.copy(), vectors=flat.reshape(0, dim).copy())
+    if embedding_dim is None:
+        if flat.shape[0] % n != 0:
+            raise ValueError(
+                f"emb_vector size {flat.shape[0]} not divisible by num keys {n}"
+            )
+        embedding_dim = flat.shape[0] // n
+    if flat.shape[0] != n * embedding_dim:
+        raise ValueError(
+            f"emb_vector holds {flat.shape[0]} floats, expected "
+            f"{n} keys x {embedding_dim} dim = {n * embedding_dim}"
+        )
+    return SparseModelTable(
+        keys=keys.copy(), vectors=flat.reshape(n, embedding_dim).copy()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized sidecar (TPU-native extension)
+# ---------------------------------------------------------------------------
+
+
+def write_quantized_sidecar(
+    table_dir: str | os.PathLike,
+    qvalues: np.ndarray,
+    scales: np.ndarray,
+    fmt: str = "int8-rowwise",
+) -> None:
+    d = _check_local(table_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    qvalues = np.ascontiguousarray(qvalues)
+    scales = np.ascontiguousarray(np.asarray(scales, dtype="<f4")).reshape(-1)
+    if qvalues.shape[0] != scales.shape[0]:
+        raise ValueError("qvalues and scales row counts differ")
+    (d / "emb_vector.q8").write_bytes(qvalues.astype(np.int8).tobytes())
+    (d / "emb_vector.scale").write_bytes(scales.tobytes())
+    (d / "quant_meta.json").write_text(
+        json.dumps({"format": fmt, "dim": int(qvalues.shape[1])})
+    )
+
+
+def read_quantized_sidecar(table_dir: str | os.PathLike):
+    d = _check_local(table_dir)
+    meta = json.loads((d / "quant_meta.json").read_text())
+    dim = int(meta["dim"])
+    q = np.frombuffer((d / "emb_vector.q8").read_bytes(), dtype=np.int8).reshape(-1, dim)
+    s = np.frombuffer((d / "emb_vector.scale").read_bytes(), dtype="<f4")
+    return q.copy(), s.copy(), meta

@@ -1,0 +1,62 @@
+"""Row-wise quantization for embedding tables (INT8 and FP8-e4m3).
+
+The reference exposes ``fp8_quant`` as a per-model flag (reference
+hps_backend/src/backend.cpp:500-504); its CUDA engine stores quantized rows in
+the GPU cache. Here quantization is symmetric per-row absmax:
+
+    scale[r]  = max(|row_r|) / Q          (Q = 127 for int8, 448 for fp8 e4m3)
+    q[r, :]   = round(row_r / scale[r])
+    row_r     ~= q[r, :] * scale[r]
+
+Per-row (not per-tensor) scales keep the quantization error of a *lookup*
+independent of which other rows live in the table — that is what makes the
+AUC-parity gate (BASELINE north star: AUC delta < 0.001) achievable.
+
+numpy implementations here are the host-side reference path (used when
+materializing tables and in parity tests); the on-device dequant is fused into
+the Pallas gather kernel (hugectr_backend_tpu/ops/dequant_gather.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INT8_QMAX = 127.0
+FP8_E4M3_MAX = 448.0
+
+
+def _row_scales(vectors: np.ndarray, qmax: float) -> np.ndarray:
+    absmax = np.abs(vectors).max(axis=1)
+    # Avoid zero scales for all-zero rows; any finite scale dequantizes 0 -> 0.
+    absmax = np.where(absmax == 0.0, 1.0, absmax)
+    return (absmax / qmax).astype(np.float32)
+
+
+def quantize_rows_int8(vectors: np.ndarray):
+    """-> (q int8 [rows, dim], scales float32 [rows])."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    scales = _row_scales(vectors, INT8_QMAX)
+    q = np.rint(vectors / scales[:, None])
+    q = np.clip(q, -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_rows_fp8(vectors: np.ndarray):
+    """FP8 e4m3 row quantization -> (q float8_e4m3 stored as uint8 bits? No —
+    returned as ml_dtypes float8_e4m3fn array, scales float32 [rows]).
+
+    Uses ml_dtypes (shipped with jax) for the e4m3 rounding; the on-device
+    table stores the raw e4m3 bytes.
+    """
+    import ml_dtypes  # shipped as a jax dependency
+
+    vectors = np.asarray(vectors, dtype=np.float32)
+    scales = _row_scales(vectors, FP8_E4M3_MAX)
+    scaled = vectors / scales[:, None]
+    q = scaled.astype(ml_dtypes.float8_e4m3fn)
+    return q, scales
+
+
+def dequantize_rows(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Host-side reference dequant: q * scale[:, None] -> float32."""
+    return q.astype(np.float32) * np.asarray(scales, dtype=np.float32)[:, None]
