@@ -1,0 +1,238 @@
+"""HBM embedding cache: per-model, per-device hot-row store.
+
+TPU-native replacement for the reference's GPU embedding cache
+(``EmbeddingCacheBase``: per-model x per-GPU, shared by all lookup sessions of
+that model on that device — reference docs/architecture.md:19-29). Flavors
+(static / dynamic / uvm / stochastic, reference backend.cpp:483-491) share this
+class; the flavor controls the online-insert policy:
+
+- STATIC: resident set fixed at creation; no online insert.
+- DYNAMIC: misses fetched from lower tiers are inserted, synchronously while
+  the measured hit rate is below ``hit_rate_threshold`` and asynchronously
+  above it (reference README.md:204-205, docs/architecture.md:65-67).
+- STOCHASTIC: like DYNAMIC but inserts are sampled.
+- UVM: full table in host DRAM; HBM holds hot rows; refill happens on refresh.
+
+Device layout per table is a :class:`DeviceTable` whose row ``capacity`` is the
+default/miss row; lookups are translate (host) -> gather+dequant (device) ->
+miss merge (device scatter of tier-fetched rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hugectr_backend_tpu.config.params import EmbeddingCacheType, InferenceParams
+from hugectr_backend_tpu.tiers.hbm import DeviceTable, gather_dequant_xla
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    """Mirror of the reference's cache config surface
+    (``get_cache_config().num_emb_table_``, reference model_instance_state.cpp:169)."""
+
+    num_emb_table: int
+    embedding_vec_size: list[int]
+    capacity_per_table: list[int]
+    cache_type: EmbeddingCacheType
+
+
+class _HitRateMeter:
+    """EWMA hit-rate per table; drives the sync/async insert switch
+    (reference docs/hierarchical_parameter_server.md:175-179)."""
+
+    def __init__(self, num_tables: int, alpha: float = 0.05):
+        self.rates = np.ones(num_tables, dtype=np.float64)
+        self.alpha = alpha
+        self._lock = threading.Lock()
+
+    def update(self, table_idx: int, hits: int, total: int):
+        if total == 0:
+            return
+        with self._lock:
+            r = hits / total
+            self.rates[table_idx] += self.alpha * (r - self.rates[table_idx])
+
+    def rate(self, table_idx: int) -> float:
+        return float(self.rates[table_idx])
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two: bounds jit retraces per shape."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _gather_all(values, scales, slots):
+    """Gather+dequant every table in one compiled program (lists as pytrees)."""
+    return [
+        gather_dequant_xla(v, s, i) for v, s, i in zip(values, scales, slots)
+    ]
+
+
+@jax.jit
+def _scatter_rows(out, positions, rows):
+    """out[positions] = rows; out-of-range positions (padding) are dropped."""
+    return out.at[positions].set(rows, mode="drop")
+
+
+class EmbeddingCache:
+    """One model's embedding cache on one device."""
+
+    def __init__(
+        self,
+        params: InferenceParams,
+        tables: Sequence[DeviceTable],
+        device: Optional[jax.Device] = None,
+        tier_query: Optional[Callable[[int, np.ndarray], tuple[np.ndarray, np.ndarray]]] = None,
+    ):
+        self.params = params
+        self.tables = list(tables)
+        self.device = device
+        # tier_query(table_idx, keys) -> (vectors, found): the path to the
+        # DRAM/SSD tiers, injected by the parameter server.
+        self.tier_query = tier_query
+        self.hit_meter = _HitRateMeter(len(self.tables))
+        self._lock = threading.Lock()
+
+    # -- reference-contract surface -----------------------------------------
+
+    def get_cache_config(self) -> CacheConfig:
+        return CacheConfig(
+            num_emb_table=len(self.tables),
+            embedding_vec_size=[t.dim for t in self.tables],
+            capacity_per_table=[t.capacity for t in self.tables],
+            cache_type=self.params.embedding_cache_type,
+        )
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.tables)
+
+    # -- lookup path ---------------------------------------------------------
+
+    def translate(self, table_idx: int, keys: np.ndarray) -> np.ndarray:
+        """Host-side key -> slot translation; misses -> default-row slot."""
+        return self.tables[table_idx].slots_for(keys)
+
+    def lookup(self, keys_per_table: Sequence[np.ndarray]) -> list[jax.Array]:
+        """Full lookup with miss-merge. Returns per-table f32 [n_t, dim_t]
+        device arrays (un-padded views).
+
+        Steps (cf. reference hot loop docs/hierarchical_parameter_server.md:67-87):
+        cache probe -> hit: HBM gather; miss: query lower tiers -> scatter into
+        the result -> default value if absent everywhere -> insert policy.
+        """
+        n_tables = len(self.tables)
+        slots_list, counts, miss_info = [], [], []
+        for t in range(n_tables):
+            keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
+            n = keys.shape[0]
+            slots = self.translate(t, keys)
+            miss_mask = slots == self.tables[t].index.miss_slot
+            n_hit = int(n - miss_mask.sum())
+            self.hit_meter.update(t, n_hit, n)
+            padded = _bucket(max(n, 1))
+            slots_padded = np.full(padded, self.tables[t].index.miss_slot, np.int32)
+            slots_padded[:n] = slots
+            slots_list.append(jnp.asarray(slots_padded))
+            counts.append(n)
+            miss_info.append((keys, miss_mask))
+
+        outs = _gather_all(
+            [t.values for t in self.tables],
+            [t.scales for t in self.tables],
+            slots_list,
+        )
+
+        # Miss merge: fetch rows the HBM tier doesn't hold from DRAM/SSD.
+        if self.tier_query is not None:
+            outs = list(outs)
+            for t, (keys, miss_mask) in enumerate(miss_info):
+                miss_pos = np.flatnonzero(miss_mask)
+                if miss_pos.size == 0:
+                    continue
+                vecs, found = self.tier_query(t, keys[miss_pos])
+                fnd_pos = miss_pos[found]
+                if fnd_pos.size:
+                    pb = _bucket(int(fnd_pos.size))
+                    pos_padded = np.full(pb, outs[t].shape[0], np.int32)  # OOB pad
+                    pos_padded[: fnd_pos.size] = fnd_pos
+                    rows_padded = np.zeros((pb, self.tables[t].dim), np.float32)
+                    rows_padded[: fnd_pos.size] = vecs[found]
+                    outs[t] = _scatter_rows(
+                        outs[t], jnp.asarray(pos_padded), jnp.asarray(rows_padded)
+                    )
+                    self._on_miss_fetched(t, keys[miss_pos][found], vecs[found])
+        return [o[: counts[t]] for t, o in enumerate(outs)]
+
+    # -- insert policy (extended by the dynamic cache, milestone: hot cache) --
+
+    def _on_miss_fetched(self, table_idx: int, keys: np.ndarray, vectors: np.ndarray):
+        """Static cache: no online insert (reference static cache semantics)."""
+        return
+
+    def refresh(self, fraction: Optional[float] = None) -> int:
+        """Re-pull the resident rows' values from the lower tiers.
+
+        Implements ``refresh_embedding_cache`` for this device (reference
+        model_state.cpp:145-178): refreshes ``cache_refresh_percentage_per_iteration``
+        of the cache per call unless ``fraction`` overrides it. Returns rows
+        refreshed.
+        """
+        if self.tier_query is None:
+            return 0
+        frac = self.params.cache_refresh_percentage_per_iteration if fraction is None else fraction
+        refreshed = 0
+        with self._lock:
+            for t, table in enumerate(self.tables):
+                cap = table.capacity
+                if cap == 0:
+                    continue
+                n = max(int(cap * frac), 1) if frac < 1.0 else cap
+                # Round-robin window over the sorted key space.
+                start = getattr(table, "_refresh_cursor", 0)
+                idx = (np.arange(n) + start) % cap
+                setattr(table, "_refresh_cursor", int((start + n) % cap))
+                keys = table.index.sorted_keys[idx]
+                vecs, found = self.tier_query(t, keys)
+                if not found.any():
+                    continue
+                self._write_rows(t, idx[found], vecs[found])
+                refreshed += int(found.sum())
+        return refreshed
+
+    def _write_rows(self, table_idx: int, slots: np.ndarray, vectors: np.ndarray):
+        """Quantize + scatter rows into the device table (functional update)."""
+        from hugectr_backend_tpu.ops.quantize import (
+            quantize_rows_fp8,
+            quantize_rows_int8,
+        )
+
+        table = self.tables[table_idx]
+        slots = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        if table.quant == "int8":
+            q, s = quantize_rows_int8(vectors)
+            table.values = table.values.at[slots].set(jnp.asarray(q), mode="drop")
+            table.scales = table.scales.at[slots].set(jnp.asarray(s), mode="drop")
+        elif table.quant == "fp8":
+            q, s = quantize_rows_fp8(vectors)
+            table.values = table.values.at[slots].set(jnp.asarray(q), mode="drop")
+            table.scales = table.scales.at[slots].set(jnp.asarray(s), mode="drop")
+        else:
+            table.values = table.values.at[slots].set(
+                jnp.asarray(vectors, dtype=table.values.dtype), mode="drop"
+            )
+
+    def nbytes(self) -> int:
+        return sum(t.nbytes() for t in self.tables)

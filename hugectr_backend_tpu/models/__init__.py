@@ -1,0 +1,6 @@
+from hugectr_backend_tpu.models.dlrm import DLRM
+from hugectr_backend_tpu.models.wdl import WideAndDeep
+from hugectr_backend_tpu.models.dcn import DCNv2
+from hugectr_backend_tpu.models.din import DIN
+
+__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN"]

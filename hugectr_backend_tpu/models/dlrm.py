@@ -1,0 +1,78 @@
+"""DLRM dense network (bottom MLP + pairwise interaction + top MLP).
+
+The reference serves DLRM's dense part through separate Triton backends
+composed by ensemble (reference samples/hps-triton-ensemble/README.md:1-24);
+here the dense part is a Flax module so lookup + dense fuse into ONE XLA
+program (BASELINE north star: dequant+gather overlapped with dense forward).
+
+Shapes follow the reference CI config: 26 categorical features, 13 dense
+features, batch from the serving frontend (reference .gitlab-ci.yml:70
+``--shape KEYS:26``).
+
+bf16 matmuls with fp32 accumulation keep the MXU fed at its fast path;
+set ``compute_dtype=jnp.float32`` for bit-exact parity checks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MLP(nn.Module):
+    widths: Sequence[int]
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    final_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.compute_dtype)
+        for i, w in enumerate(self.widths):
+            x = nn.Dense(w, dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+            if i + 1 < len(self.widths) or self.final_activation:
+                x = nn.relu(x)
+        return x
+
+
+class DotInteraction(nn.Module):
+    """DLRM pairwise-dot feature interaction.
+
+    Concatenates the bottom-MLP output with the upper triangle of
+    ``Z @ Z^T`` where Z stacks [bottom_out; emb_1..emb_T]. The batched matmul
+    lands on the MXU as a single [B, T+1, D] x [B, D, T+1] contraction.
+    """
+
+    self_interaction: bool = False
+
+    @nn.compact
+    def __call__(self, bottom_out, emb):
+        # bottom_out [B, D], emb [B, T, D]
+        z = jnp.concatenate([bottom_out[:, None, :], emb], axis=1)  # [B, F, D]
+        zzt = jnp.einsum(
+            "bfd,bgd->bfg", z, z, preferred_element_type=jnp.float32
+        )  # [B, F, F]
+        f = z.shape[1]
+        rows, cols = jnp.triu_indices(f, k=0 if self.self_interaction else 1)
+        inter = zzt[:, rows, cols]  # [B, F*(F-1)/2]
+        return jnp.concatenate([bottom_out, inter.astype(bottom_out.dtype)], axis=1)
+
+
+class DLRM(nn.Module):
+    """Facebook-style DLRM dense graph consuming HPS lookup output.
+
+    ``__call__(dense, emb)``: dense [B, num_dense], emb [B, T, D] (one pooled
+    vector per table per sample, as produced by the lookup engine).
+    """
+
+    bottom_widths: Sequence[int] = (512, 256, 64)
+    top_widths: Sequence[int] = (1024, 1024, 512, 256, 1)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, dense, emb):
+        bottom = MLP(self.bottom_widths, self.compute_dtype, final_activation=True)(dense)
+        x = DotInteraction()(bottom, emb.astype(bottom.dtype))
+        logits = MLP(self.top_widths, self.compute_dtype, final_activation=False)(x)
+        return logits.astype(jnp.float32).squeeze(-1)

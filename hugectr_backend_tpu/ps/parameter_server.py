@@ -1,0 +1,242 @@
+"""Hierarchical parameter server: table manager over HBM / DRAM / SSD tiers.
+
+TPU-native implementation of the reference engine's
+``HierParameterServerBase`` contract (reference docs/architecture.md:232-326;
+call sites hps_backend/src/backend.cpp:69-71, model_state.cpp:111-411):
+
+    create(ps_json)                        -> loads all models' sparse files
+    get_hps_model_configuration_map()      -> {model: InferenceParams}
+    update_database_per_model(params)      -> (re)load a model's tables
+    create_embedding_cache_per_model(name) -> allocate + warm HBM caches
+    destory_embedding_cache_per_model      -> (reference spelling kept as alias)
+    get_embedding_cache(model, device)     -> EmbeddingCache
+    refresh_embedding_cache(model, device) -> re-pull resident rows from tiers
+
+Tier layout: the volatile DB of the reference (CPU hash maps / Redis) becomes
+the host-DRAM tier; the persistent DB (RocksDB) becomes the local-SSD tier;
+the GPU cache becomes the HBM :class:`EmbeddingCache`.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from hugectr_backend_tpu.cache.embedding_cache import EmbeddingCache
+from hugectr_backend_tpu.config.params import (
+    ConfigError,
+    DatabaseType,
+    EmbeddingCacheType,
+    InferenceParams,
+    ParameterServerConfig,
+)
+from hugectr_backend_tpu.io.sparse_model import read_sparse_model
+from hugectr_backend_tpu.tiers.base import KVTier, table_tag
+from hugectr_backend_tpu.tiers.dram import make_dram_tier
+from hugectr_backend_tpu.tiers.hbm import DeviceTable
+
+log = logging.getLogger("hps_tpu.ps")
+
+
+class HierParameterServer:
+    """Single shared parameter server for all models (one per process, like the
+    reference's single `parameter_server_` shared across models,
+    reference backend.hpp:102-117)."""
+
+    def __init__(self, config: ParameterServerConfig):
+        self.config = config
+        self.dram: KVTier = make_dram_tier(config.volatile_db)
+        self.ssd: Optional[KVTier] = None
+        if config.persistent_db.type == DatabaseType.ROCKS_DB:
+            from hugectr_backend_tpu.tiers.ssd import SsdKVTier
+
+            self.ssd = SsdKVTier(config.persistent_db)
+        # caches[model_name][device_id] -> EmbeddingCache
+        self._caches: dict[str, dict[int, EmbeddingCache]] = {}
+        # Raw (keys, vectors) kept per table while tiers don't cover them:
+        # row geometry registry (dim per table tag).
+        self._table_dims: dict[str, int] = {}
+        self._model_versions: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------ create
+
+    @classmethod
+    def create(cls, source) -> "HierParameterServer":
+        """``HierParameterServerBase::create(ps_json_path)`` equivalent
+        (reference backend.cpp:69). Loads every model's sparse files into the
+        DRAM/SSD tiers and builds the HBM caches (the reference's cold-start
+        path, SURVEY call stack 3.1)."""
+        config = ParameterServerConfig.create(source)
+        ps = cls(config)
+        if config.volatile_db.initialize_after_startup:
+            for params in config.models.values():
+                ps.update_database_per_model(params)
+                if params.init_ec:
+                    ps.create_embedding_cache_per_model(params.model_name)
+        return ps
+
+    # ---------------------------------------------------- reference contract
+
+    def get_hps_model_configuration_map(self) -> dict[str, InferenceParams]:
+        return dict(self.config.models)
+
+    def get_model_params(self, model_name: str) -> InferenceParams:
+        return self.config.model_params(model_name)
+
+    def update_database_per_model(self, params: InferenceParams) -> None:
+        """Load (or re-load) a model's sparse files into the DRAM + SSD tiers
+        (reference model_state.cpp:132,389)."""
+        self.config.models[params.model_name] = params
+        init_rate = self.config.volatile_db.initial_cache_rate
+        for t, path in enumerate(params.sparse_files):
+            tag = table_tag(params.model_name, params.table_name(t))
+            dim = params.embedding_vecsize_per_table[t]
+            tbl = read_sparse_model(path, embedding_dim=dim)
+            self._table_dims[tag] = dim
+            self.dram.create_table(tag, dim)
+            n_dram = int(tbl.num_rows * min(max(init_rate, 0.0), 1.0))
+            if n_dram > 0:
+                self.dram.insert(tag, tbl.keys[:n_dram], tbl.vectors[:n_dram])
+            if self.ssd is not None:
+                self.ssd.create_table(tag, dim)
+                self.ssd.insert(tag, tbl.keys, tbl.vectors)
+            log.info(
+                "loaded table %s: %d rows x %d dim (%d rows -> DRAM%s)",
+                tag, tbl.num_rows, dim, n_dram, ", all -> SSD" if self.ssd else "",
+            )
+
+    def create_embedding_cache_per_model(self, model_name: str) -> None:
+        """Allocate per-device HBM caches and warm ``gpucacheper`` of each
+        table (reference model_state.cpp:391; docs/architecture.md:49-50)."""
+        params = self.get_model_params(model_name)
+        with self._lock:
+            per_device: dict[int, EmbeddingCache] = {}
+            devices = jax.devices()
+            for dev_id in params.deployed_devices:
+                if dev_id >= len(devices):
+                    raise ConfigError(
+                        f"deployed_device_list entry {dev_id} out of range; "
+                        f"{len(devices)} devices visible"
+                    )
+                per_device[dev_id] = self._build_cache(params, devices[dev_id])
+            self._caches[model_name] = per_device
+            self._model_versions.setdefault(model_name, 1)
+
+    def _quant_mode(self, params: InferenceParams) -> str:
+        if not params.use_gpu_embedding_cache:
+            # Cache off -> serve full-precision from device anyway (TPU has no
+            # "CPU lookup" fallback worth having; HBM full residency is used).
+            return "fp32"
+        if params.fp8_quant:
+            return "fp8"
+        return {8: "int8", 16: "bf16", 32: "fp32"}.get(params.quant_bits, "int8")
+
+    def _build_cache(self, params: InferenceParams, device) -> EmbeddingCache:
+        quant = self._quant_mode(params)
+        tables = []
+        for t in range(params.num_tables):
+            tag = table_tag(params.model_name, params.table_name(t))
+            all_keys = self._tier_keys(tag)
+            frac = params.cache_size_percentage if params.use_gpu_embedding_cache else 1.0
+            if params.embedding_cache_type == EmbeddingCacheType.STATIC and frac >= 1.0:
+                n_resident = all_keys.shape[0]
+            else:
+                n_resident = int(np.ceil(all_keys.shape[0] * min(max(frac, 0.0), 1.0)))
+            resident_keys = all_keys[:n_resident]
+            if n_resident > 0:
+                vecs, found = self._query_tiers(tag, resident_keys)
+                resident_keys = resident_keys[found]
+                vecs = vecs[found]
+            else:
+                vecs = np.zeros((0, params.embedding_vecsize_per_table[t]), np.float32)
+            table = DeviceTable.from_numpy(
+                resident_keys,
+                vecs,
+                quant=quant,
+                default_value=params.default_value_for_table(t),
+                device=device,
+            )
+            tables.append(table)
+        cache = EmbeddingCache(
+            params,
+            tables,
+            device=device,
+            tier_query=lambda ti, keys, m=params.model_name, p=params: self._query_tiers(
+                table_tag(m, p.table_name(ti)), keys
+            ),
+        )
+        return cache
+
+    def _tier_keys(self, tag: str) -> np.ndarray:
+        keys = self.dram.keys(tag) if tag in self.dram.tables() else np.empty(0, np.int64)
+        if self.ssd is not None and tag in self.ssd.tables():
+            ssd_keys = self.ssd.keys(tag)
+            keys = np.union1d(keys, ssd_keys)
+        return np.sort(keys)
+
+    def _query_tiers(self, tag: str, keys: np.ndarray):
+        """Cascade DRAM -> SSD (reference VDB -> PDB fallback,
+        docs/hierarchical_parameter_server.md:40-43)."""
+        vecs, found = self.dram.query(tag, keys)
+        if self.ssd is not None and not found.all():
+            missing = np.flatnonzero(~found)
+            v2, f2 = self.ssd.query(tag, keys[missing])
+            hit2 = missing[f2]
+            vecs[hit2] = v2[f2]
+            found[hit2] = True
+            if self.config.volatile_db.cache_missed_embeddings and hit2.size:
+                # Optional write-back of SSD hits into DRAM (doc:488-512).
+                self.dram.insert(tag, keys[hit2], vecs[hit2])
+        return vecs, found
+
+    def get_embedding_cache(self, model_name: str, device_id: int) -> EmbeddingCache:
+        """Reference model_state.cpp:411."""
+        try:
+            return self._caches[model_name][device_id]
+        except KeyError:
+            raise KeyError(
+                f"no embedding cache for model {model_name!r} on device {device_id}; "
+                "call create_embedding_cache_per_model first"
+            ) from None
+
+    def destroy_embedding_cache_per_model(self, model_name: str) -> None:
+        """Reference model_state.cpp:111 (there spelled `destory_...`)."""
+        with self._lock:
+            self._caches.pop(model_name, None)
+
+    # Reference API spelling kept as an alias for drop-in familiarity.
+    destory_embedding_cache_per_model = destroy_embedding_cache_per_model
+
+    def refresh_embedding_cache(self, model_name: str, device_id: int) -> int:
+        """Reference model_state.cpp:135,160."""
+        return self.get_embedding_cache(model_name, device_id).refresh()
+
+    # ------------------------------------------------------------- versioning
+
+    def get_model_version(self, model_name: str) -> int:
+        """Reference backend.cpp:83-90."""
+        return self._model_versions.get(model_name, 0)
+
+    def update_model_version(self, model_name: str, version: int) -> None:
+        """Reference backend.cpp:94-99."""
+        with self._lock:
+            self._model_versions[model_name] = version
+
+    # ------------------------------------------------------------- update path
+
+    def apply_updates(self, model_name: str, table_idx: int,
+                      keys: np.ndarray, vectors: np.ndarray) -> None:
+        """Apply streaming parameter updates to the DRAM + SSD tiers (the
+        reference's Kafka-consumer write path, README.md:213-218). HBM caches
+        pick the new values up on the next refresh cycle."""
+        params = self.get_model_params(model_name)
+        tag = table_tag(model_name, params.table_name(table_idx))
+        self.dram.insert(tag, keys, vectors)
+        if self.ssd is not None:
+            self.ssd.insert(tag, keys, vectors)

@@ -7,13 +7,20 @@ single-process, CPU devices, multi-chip sharding validated on a virtual mesh.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any backend is initialized. The image pins
+# JAX_PLATFORMS=axon (real TPU) at a level that overrides the env var, so the
+# reliable switch is jax.config.update after import, before first use. Unit
+# tests validate semantics on an 8-device virtual CPU mesh; TPU perf runs
+# live in bench.py.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
