@@ -457,6 +457,11 @@ class InferenceParams:
     thread_pool_size: int = 16
     refresh_delay: float = 0.0
     refresh_interval: float = 0.0
+    # config.pbtxt parameters{freeze_sparse} in the reference
+    # (model_state.cpp:313-335): freeze skips tier re-load on refresh.
+    freeze_sparse: bool = False
+    # Continuous-batching frontend knobs (replaces Triton dynamic batching).
+    max_queue_delay_us: int = 300
     # TPU-native extensions (not in reference ps.json; safe defaults)
     quant_bits: int = 8  # 8 (int8) | 16 (bf16) | 32 (fp32); fp8_quant overrides
     table_shard_axis: str = "table"  # mesh axis name for sharded tables
@@ -550,6 +555,10 @@ class InferenceParams:
         d.refresh_delay = _get(obj, "refresh_delay", d.refresh_delay, False, _as_float)
         d.refresh_interval = _get(
             obj, "refresh_interval", d.refresh_interval, False, _as_float
+        )
+        d.freeze_sparse = _get(obj, "freeze_sparse", d.freeze_sparse, False, _as_bool)
+        d.max_queue_delay_us = _get(
+            obj, "max_queue_delay_us", d.max_queue_delay_us, False, _as_int
         )
         d.quant_bits = _get(obj, "quant_bits", d.quant_bits, False, _as_int)
         d.table_shard_axis = _get(obj, "table_shard_axis", d.table_shard_axis, False, _as_str)

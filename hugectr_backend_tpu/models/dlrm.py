@@ -72,6 +72,12 @@ class DLRM(nn.Module):
 
     @nn.compact
     def __call__(self, dense, emb):
+        if self.bottom_widths[-1] != emb.shape[-1]:
+            raise ValueError(
+                f"DLRM bottom MLP must end at the embedding dim for the dot "
+                f"interaction: bottom_widths[-1]={self.bottom_widths[-1]} vs "
+                f"embedding dim {emb.shape[-1]}"
+            )
         bottom = MLP(self.bottom_widths, self.compute_dtype, final_activation=True)(dense)
         x = DotInteraction()(bottom, emb.astype(bottom.dtype))
         logits = MLP(self.top_widths, self.compute_dtype, final_activation=False)(x)

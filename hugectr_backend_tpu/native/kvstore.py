@@ -1,0 +1,187 @@
+"""ctypes binding for the native DRAM KV store (kvstore.cpp).
+
+Drop-in for :class:`hugectr_backend_tpu.tiers.dram.DramKVTier` with identical
+semantics; selected automatically by ``make_dram_tier`` when the shared
+library is built (``make -C hugectr_backend_tpu/native``). The build is also
+attempted lazily here (a few seconds, once).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from hugectr_backend_tpu.config.params import (
+    DatabaseOverflowPolicy,
+    VolatileDatabaseParams,
+)
+from hugectr_backend_tpu.tiers.base import KVTier
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libhps_native.so"
+_POLICY_CODE = {
+    DatabaseOverflowPolicy.EVICT_RANDOM: 0,
+    DatabaseOverflowPolicy.EVICT_LEAST_USED: 1,
+    DatabaseOverflowPolicy.EVICT_OLDEST: 2,
+}
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_lib() -> None:
+    subprocess.run(
+        ["make", "-C", str(_DIR), "-s"],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+
+
+def load_lib() -> ctypes.CDLL:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            _build_lib()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.hps_kv_create.restype = ctypes.c_void_p
+        lib.hps_kv_create.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.c_double,
+        ]
+        lib.hps_kv_destroy.argtypes = [ctypes.c_void_p]
+        lib.hps_kv_insert.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.hps_kv_query.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.hps_kv_evict.restype = ctypes.c_int64
+        lib.hps_kv_evict.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.hps_kv_size.restype = ctypes.c_int64
+        lib.hps_kv_size.argtypes = [ctypes.c_void_p]
+        lib.hps_kv_keys.restype = ctypes.c_int64
+        lib.hps_kv_keys.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return lib
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+class _NativeTable:
+    def __init__(self, lib, dim: int, params: VolatileDatabaseParams):
+        self.lib = lib
+        self.dim = dim
+        self.handle = lib.hps_kv_create(
+            dim,
+            params.effective_num_partitions(),
+            min(params.overflow_margin, 2**63 - 1),
+            _POLICY_CODE[params.overflow_policy],
+            params.overflow_resolution_target,
+        )
+
+    def __del__(self):
+        try:
+            self.lib.hps_kv_destroy(self.handle)
+        except Exception:
+            pass
+
+
+class NativeDramKVTier(KVTier):
+    def __init__(self, params: Optional[VolatileDatabaseParams] = None):
+        self.params = params or VolatileDatabaseParams()
+        self.lib = load_lib()
+        self._tables: dict[str, _NativeTable] = {}
+        self._lock = threading.Lock()
+
+    def create_table(self, tag: str, dim: int) -> None:
+        with self._lock:
+            if tag in self._tables:
+                if self._tables[tag].dim != dim:
+                    raise ValueError(
+                        f"table {tag} exists with dim {self._tables[tag].dim}, "
+                        f"requested {dim}"
+                    )
+                return
+            self._tables[tag] = _NativeTable(self.lib, dim, self.params)
+
+    def drop_table(self, tag: str) -> None:
+        with self._lock:
+            self._tables.pop(tag, None)
+
+    def tables(self) -> list[str]:
+        return list(self._tables.keys())
+
+    def insert(self, tag: str, keys: np.ndarray, vectors: np.ndarray) -> int:
+        keys = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(
+            keys.shape[0], -1
+        )
+        if tag not in self._tables:
+            self.create_table(tag, int(vectors.shape[1]))
+        t = self._tables[tag]
+        if vectors.shape[1] != t.dim:
+            raise ValueError(f"dim mismatch: table {t.dim}, vectors {vectors.shape[1]}")
+        self.lib.hps_kv_insert(t.handle, keys.shape[0], _i64p(keys), _f32p(vectors))
+        return int(keys.shape[0])
+
+    def query(self, tag: str, keys: np.ndarray):
+        keys = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+        t = self._tables[tag]
+        out = np.empty((keys.shape[0], t.dim), dtype=np.float32)
+        found = np.empty(keys.shape[0], dtype=np.uint8)
+        self.lib.hps_kv_query(
+            t.handle, keys.shape[0], _i64p(keys), _f32p(out), _u8p(found)
+        )
+        return out, found.astype(bool)
+
+    def evict(self, tag: str, keys: np.ndarray) -> int:
+        keys = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+        t = self._tables[tag]
+        return int(self.lib.hps_kv_evict(t.handle, keys.shape[0], _i64p(keys)))
+
+    def size(self, tag: str) -> int:
+        return int(self.lib.hps_kv_size(self._tables[tag].handle))
+
+    def keys(self, tag: str) -> np.ndarray:
+        t = self._tables[tag]
+        n = self.size(tag)
+        out = np.empty(max(n, 1), dtype=np.int64)
+        w = self.lib.hps_kv_keys(t.handle, _i64p(out), n)
+        return out[:w]

@@ -1,0 +1,171 @@
+"""Prometheus-format metrics registry (no external dependencies).
+
+Replaces the reference's reliance on Triton's metrics endpoint
+(reference docs/metrics.md:106-128; fed via
+``TRITONBACKEND_ModelInstanceReportStatistics`` at hps.cc:740-761). Exposed at
+``GET /metrics`` by the serving frontend in the same Prometheus text format,
+so the reference's Grafana guide (docs/metrics.md:168-184) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Iterable
+
+
+def _fmt_labels(labels: dict[str, str]) -> str:
+    if not labels:
+        return ""
+    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    return "{" + inner + "}"
+
+
+class Counter:
+    def __init__(self, name: str, help_: str):
+        self.name, self.help = name, help_
+        self._values: dict[tuple, float] = defaultdict(float)
+        self._lock = threading.Lock()
+
+    def inc(self, value: float = 1.0, **labels):
+        with self._lock:
+            self._values[tuple(sorted(labels.items()))] += value
+
+    def render(self) -> Iterable[str]:
+        yield f"# HELP {self.name} {self.help}"
+        yield f"# TYPE {self.name} counter"
+        with self._lock:
+            items = list(self._values.items()) or [((), 0.0)]
+        for lbl, v in items:
+            yield f"{self.name}{_fmt_labels(dict(lbl))} {v}"
+
+
+class Gauge(Counter):
+    def set(self, value: float, **labels):
+        with self._lock:
+            self._values[tuple(sorted(labels.items()))] = value
+
+    def render(self) -> Iterable[str]:
+        yield f"# HELP {self.name} {self.help}"
+        yield f"# TYPE {self.name} gauge"
+        with self._lock:
+            items = list(self._values.items()) or [((), 0.0)]
+        for lbl, v in items:
+            yield f"{self.name}{_fmt_labels(dict(lbl))} {v}"
+
+
+class Histogram:
+    DEFAULT_BUCKETS = (
+        50e-6, 100e-6, 250e-6, 500e-6, 1e-3, 2.5e-3, 5e-3, 10e-3, 25e-3,
+        50e-3, 100e-3, 250e-3, 500e-3, 1.0,
+    )
+
+    def __init__(self, name: str, help_: str, buckets=None):
+        self.name, self.help = name, help_
+        self.buckets = tuple(buckets or self.DEFAULT_BUCKETS)
+        self._counts: dict[tuple, list[int]] = {}
+        self._sum: dict[tuple, float] = defaultdict(float)
+        self._total: dict[tuple, int] = defaultdict(int)
+        self._lock = threading.Lock()
+
+    def observe(self, value: float, **labels):
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            if key not in self._counts:
+                self._counts[key] = [0] * len(self.buckets)
+            for i, b in enumerate(self.buckets):
+                if value <= b:
+                    self._counts[key][i] += 1
+            self._sum[key] += value
+            self._total[key] += 1
+
+    def percentile(self, q: float, **labels) -> float:
+        """Approximate percentile from bucket counts (upper bound)."""
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            total = self._total.get(key, 0)
+            if not total:
+                return 0.0
+            target = q * total
+            for i, b in enumerate(self.buckets):
+                if self._counts[key][i] >= target:
+                    return b
+        return self.buckets[-1]
+
+    def render(self) -> Iterable[str]:
+        yield f"# HELP {self.name} {self.help}"
+        yield f"# TYPE {self.name} histogram"
+        with self._lock:
+            keys = list(self._total.keys())
+            for key in keys:
+                labels = dict(key)
+                for i, b in enumerate(self.buckets):
+                    l2 = dict(labels, le=repr(b))
+                    yield f"{self.name}_bucket{_fmt_labels(l2)} {self._counts[key][i]}"
+                linf = dict(labels, le="+Inf")
+                yield f"{self.name}_bucket{_fmt_labels(linf)} {self._total[key]}"
+                yield f"{self.name}_sum{_fmt_labels(labels)} {self._sum[key]}"
+                yield f"{self.name}_count{_fmt_labels(labels)} {self._total[key]}"
+
+
+class MetricsRegistry:
+    """Process-global registry; serving components register on import."""
+
+    def __init__(self):
+        self._metrics: list = []
+        self._lock = threading.Lock()
+
+    def counter(self, name, help_) -> Counter:
+        m = Counter(name, help_)
+        with self._lock:
+            self._metrics.append(m)
+        return m
+
+    def gauge(self, name, help_) -> Gauge:
+        m = Gauge(name, help_)
+        with self._lock:
+            self._metrics.append(m)
+        return m
+
+    def histogram(self, name, help_, buckets=None) -> Histogram:
+        m = Histogram(name, help_, buckets)
+        with self._lock:
+            self._metrics.append(m)
+        return m
+
+    def render(self) -> str:
+        lines = []
+        with self._lock:
+            metrics = list(self._metrics)
+        for m in metrics:
+            lines.extend(m.render())
+        return "\n".join(lines) + "\n"
+
+
+REGISTRY = MetricsRegistry()
+
+# Serving metric family mirroring Triton's nv_inference_* names where sensible
+# (docs/metrics.md) plus HPS-specific cache metrics.
+REQUEST_COUNT = REGISTRY.counter(
+    "hps_inference_request_success", "Successful inference requests"
+)
+REQUEST_FAIL = REGISTRY.counter(
+    "hps_inference_request_failure", "Failed inference requests"
+)
+REQUEST_LATENCY = REGISTRY.histogram(
+    "hps_inference_request_duration_seconds", "End-to-end request latency"
+)
+QUEUE_LATENCY = REGISTRY.histogram(
+    "hps_inference_queue_duration_seconds", "Time spent in the batching queue"
+)
+BATCH_SIZE = REGISTRY.histogram(
+    "hps_inference_batch_size", "Executed batch sizes",
+    buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048),
+)
+SAMPLES_COUNT = REGISTRY.counter("hps_inference_samples", "Samples processed")
+CACHE_HIT_RATE = REGISTRY.gauge(
+    "hps_embedding_cache_hit_rate", "EWMA embedding cache hit rate"
+)
+PENDING_REQUESTS = REGISTRY.gauge(
+    "hps_pending_requests", "Requests waiting in the scheduler queue"
+)

@@ -1,0 +1,209 @@
+"""Continuous-batching request scheduler.
+
+Replaces the Triton request loop of the reference backend
+(reference hps_backend/src/hps.cc:349-788). The reference processes requests
+*serially* per model instance ("the hps backend doesn't support concurrent
+prediction", hps.cc:392-396) and relies on Triton's dynamic batcher upstream.
+Here, a continuous batcher owns the queue: concurrent client requests are
+merged into one device lookup (per-table key concatenation), executed by a
+small worker pool (size = ``num_of_worker_buffer_in_pool``, the reference's
+worker-buffer concurrency bound, model_state.cpp:300-308), and the results
+are split back per request. All sessions share one embedding cache, as in the
+reference (docs/architecture.md:20).
+
+Validation mirrors the reference execute loop:
+- KEYS length must be a multiple of cat_num -> num_samples (hps.cc:573-582);
+- num_samples must not exceed max_batch_size (same lines);
+- NUMKEYS arity must equal the table count (hps.cc:616-618).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+from hugectr_backend_tpu.config.params import InferenceParams
+from hugectr_backend_tpu.lookup.session import LookupSession
+from hugectr_backend_tpu.serving import metrics
+
+
+class RequestError(ValueError):
+    """Client-side error: reported per-request, never kills the server
+    (reference GUARDED_RESPOND_IF_ERROR semantics, triton_common.hpp:62-76)."""
+
+
+@dataclasses.dataclass
+class InferRequest:
+    keys: np.ndarray  # flat int64 KEYS
+    num_keys: np.ndarray  # int NUMKEYS per table
+    future: Future = dataclasses.field(default_factory=Future)
+    enqueue_time: float = dataclasses.field(default_factory=time.perf_counter)
+    num_samples: int = 0
+
+
+@dataclasses.dataclass
+class InferResponse:
+    """Matches the reference's response surface: flat FP32 vector payload +
+    NumSample / DeviceID parameters (reference hps.cc:712-719)."""
+
+    output: np.ndarray
+    num_samples: int
+    device_id: int
+
+
+class ContinuousBatcher:
+    """One batcher per (model, device). ``submit`` is thread-safe."""
+
+    def __init__(
+        self,
+        params: InferenceParams,
+        session: LookupSession,
+        device_id: int,
+        num_workers: Optional[int] = None,
+    ):
+        self.params = params
+        self.session = session
+        self.device_id = device_id
+        self.max_samples = params.max_batch_size
+        self.max_delay_s = max(params.max_queue_delay_us, 0) / 1e6
+        self._queue: "queue.Queue[Optional[InferRequest]]" = queue.Queue()
+        self._stopped = threading.Event()
+        n_workers = num_workers or max(params.num_of_worker_buffer_in_pool, 1)
+        self._workers = [
+            threading.Thread(target=self._worker_loop, daemon=True,
+                             name=f"hps-batcher-{params.model_name}-{device_id}-{i}")
+            for i in range(n_workers)
+        ]
+        for w in self._workers:
+            w.start()
+
+    # ------------------------------------------------------------------ client
+
+    def submit(self, keys: np.ndarray, num_keys: Sequence[int]) -> Future:
+        req = self._validate(keys, num_keys)
+        metrics.PENDING_REQUESTS.set(self._queue.qsize(), model=self.params.model_name)
+        self._queue.put(req)
+        return req.future
+
+    def infer(self, keys, num_keys, timeout: Optional[float] = 60.0) -> InferResponse:
+        return self.submit(keys, num_keys).result(timeout=timeout)
+
+    def _validate(self, keys, num_keys) -> InferRequest:
+        keys = np.asarray(keys, dtype=np.int64).reshape(-1)
+        num_keys = np.asarray(num_keys, dtype=np.int64).reshape(-1)
+        n_tables = self.params.num_tables
+        if num_keys.shape[0] != n_tables:
+            raise RequestError(
+                f"NUMKEYS has {num_keys.shape[0]} entries, expected {n_tables}"
+            )
+        if int(num_keys.sum()) != keys.shape[0]:
+            raise RequestError(
+                f"KEYS holds {keys.shape[0]} keys but NUMKEYS sums to "
+                f"{int(num_keys.sum())}"
+            )
+        cat = self.params.cat_num
+        if cat and keys.shape[0] % cat == 0:
+            num_samples = keys.shape[0] // cat
+        else:
+            # Variable-length requests: size by the largest per-table ratio
+            # (bounded by maxnum_catfeature_query_per_table_per_sample).
+            ratios = [
+                -(-int(nk) // max(mx, 1))
+                for nk, mx in zip(
+                    num_keys.tolist(),
+                    self.params.maxnum_catfeature_query_per_table_per_sample,
+                )
+            ]
+            num_samples = max(ratios) if ratios else 0
+        if num_samples > self.max_samples:
+            raise RequestError(
+                f"request holds {num_samples} samples, exceeding max batch size "
+                f"{self.max_samples} (reference hps.cc:573-582)"
+            )
+        return InferRequest(keys=keys, num_keys=num_keys, num_samples=num_samples)
+
+    # ------------------------------------------------------------------ worker
+
+    def _worker_loop(self):
+        while not self._stopped.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            total = first.num_samples
+            deadline = time.perf_counter() + self.max_delay_s
+            while total < self.max_samples:
+                remaining = deadline - time.perf_counter()
+                try:
+                    nxt = self._queue.get(
+                        timeout=max(remaining, 0) if self.max_delay_s else 0
+                    )
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # let siblings exit too
+                    break
+                if total + nxt.num_samples > self.max_samples:
+                    self._queue.put(nxt)
+                    break
+                batch.append(nxt)
+                total += nxt.num_samples
+            self._execute(batch)
+
+    def _execute(self, batch: list[InferRequest]):
+        t0 = time.perf_counter()
+        model = self.params.model_name
+        for r in batch:
+            metrics.QUEUE_LATENCY.observe(t0 - r.enqueue_time, model=model)
+        try:
+            n_tables = self.params.num_tables
+            # Merge: concatenate per-table key runs across requests.
+            split_keys = [self.session.split_request(r.keys, r.num_keys) for r in batch]
+            merged = [
+                np.concatenate([sk[t] for sk in split_keys]) for t in range(n_tables)
+            ]
+            outs = self.session.lookup_numpy(merged)
+            # Split back per request.
+            offsets = [0] * n_tables
+            for bi, r in enumerate(batch):
+                parts = []
+                for t in range(n_tables):
+                    n = split_keys[bi][t].shape[0]
+                    parts.append(outs[t][offsets[t] : offsets[t] + n].reshape(-1))
+                    offsets[t] += n
+                r.future.set_result(
+                    InferResponse(
+                        output=np.concatenate(parts) if parts else np.empty(0, np.float32),
+                        num_samples=r.num_samples,
+                        device_id=self.device_id,
+                    )
+                )
+            dt = time.perf_counter() - t0
+            metrics.REQUEST_COUNT.inc(len(batch), model=model)
+            metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)
+            metrics.BATCH_SIZE.observe(sum(r.num_samples for r in batch), model=model)
+            for r in batch:
+                metrics.REQUEST_LATENCY.observe(
+                    time.perf_counter() - r.enqueue_time, model=model
+                )
+            _ = dt
+        except Exception as e:  # pragma: no cover - defensive
+            metrics.REQUEST_FAIL.inc(len(batch), model=model)
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def shutdown(self):
+        self._stopped.set()
+        self._queue.put(None)
+        for w in self._workers:
+            w.join(timeout=5)

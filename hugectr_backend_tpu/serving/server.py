@@ -1,0 +1,241 @@
+"""HTTP serving frontend: KServe-v2-compatible inference API.
+
+Replaces the Triton server frontend the reference plugs into (reference
+README.md:105-108 launches ``tritonserver``; clients use tritonclient.http
+against the KServe v2 API). Endpoint surface mirrors what the reference's
+notebooks exercise (health check ``curl /v2/health/ready``, repository index,
+infer — reference samples/Hierarchical_Parameter_Server_Deployment.ipynb):
+
+    GET  /v2/health/live
+    GET  /v2/health/ready
+    GET  /v2/models/<model>/ready
+    GET  /v2/models/<model>                 (metadata)
+    POST /v2/models/<model>/infer           (KServe v2 JSON tensors)
+    POST /v2/repository/index
+    POST /v2/repository/models/<model>/load
+    POST /v2/repository/models/<model>/unload
+    GET  /metrics                           (Prometheus, reference docs/metrics.md)
+
+Infer request/response use the reference's tensor contract: inputs KEYS
+(INT64) and NUMKEYS (INT32/INT64), output OUTPUT0 (FP32) — reference
+model_state.cpp:180-261 validates exactly this schema; response parameters
+carry NumSample and DeviceID like the reference (hps.cc:712-719).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from hugectr_backend_tpu.serving import metrics
+from hugectr_backend_tpu.serving.model_manager import ModelManager
+from hugectr_backend_tpu.serving.scheduler import RequestError
+from hugectr_backend_tpu.utils.logging import get_logger
+
+log = get_logger("hps_tpu.http")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    manager: ModelManager = None  # set by serve()
+    protocol_version = "HTTP/1.1"
+
+    # -- helpers -------------------------------------------------------------
+
+    def _send(self, code: int, body: bytes, ctype="application/json"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, code: int, obj):
+        self._send(code, json.dumps(obj).encode())
+
+    def _error(self, code: int, msg: str):
+        self._json(code, {"error": msg})
+
+    def _read_body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n) if n else b""
+
+    def log_message(self, fmt, *args):  # route access logs to our logger
+        log.debug(fmt, *args)
+
+    # -- GET -----------------------------------------------------------------
+
+    def do_GET(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        try:
+            if parts == ["v2", "health", "live"]:
+                return self._json(200, {})
+            if parts == ["v2", "health", "ready"]:
+                return self._json(200, {})
+            if parts == ["metrics"]:
+                return self._send(
+                    200, metrics.REGISTRY.render().encode(), "text/plain; version=0.0.4"
+                )
+            if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "ready":
+                name = parts[2]
+                if self.manager.is_loaded(name):
+                    return self._json(200, {})
+                return self._error(400, f"model {name!r} not ready")
+            if len(parts) == 3 and parts[:2] == ["v2", "models"]:
+                name = parts[2]
+                if not self.manager.is_loaded(name):
+                    return self._error(404, f"model {name!r} not found")
+                p = self.manager.ps.get_model_params(name)
+                return self._json(
+                    200,
+                    {
+                        "name": name,
+                        "platform": "hps_tpu",
+                        "inputs": [
+                            {"name": "KEYS", "datatype": "INT64", "shape": [-1]},
+                            {"name": "NUMKEYS", "datatype": "INT32", "shape": [-1]},
+                        ],
+                        "outputs": [
+                            {"name": "OUTPUT0", "datatype": "FP32", "shape": [-1]}
+                        ],
+                        "num_tables": p.num_tables,
+                        "embedding_vecsize_per_table": p.embedding_vecsize_per_table,
+                        "max_batch_size": p.max_batch_size,
+                    },
+                )
+            if parts == ["v2"]:
+                return self._json(
+                    200, {"name": "hps_tpu", "version": "0.1.0", "extensions": []}
+                )
+            return self._error(404, f"unknown path {self.path}")
+        except Exception as e:  # pragma: no cover
+            log.exception("GET failed")
+            return self._error(500, str(e))
+
+    # -- POST ----------------------------------------------------------------
+
+    def do_POST(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        try:
+            if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "infer":
+                return self._infer(parts[2])
+            if parts == ["v2", "repository", "index"]:
+                return self._json(200, self.manager.loaded_models())
+            if (
+                len(parts) == 5
+                and parts[:3] == ["v2", "repository", "models"]
+                and parts[4] in ("load", "unload")
+            ):
+                name = parts[3]
+                body = self._read_body()
+                version = None
+                if body:
+                    try:
+                        req = json.loads(body)
+                        version = (
+                            req.get("parameters", {}).get("version") if req else None
+                        )
+                    except json.JSONDecodeError:
+                        pass
+                if parts[4] == "load":
+                    self.manager.load(name, version=version)
+                else:
+                    self.manager.unload(name)
+                return self._json(200, {})
+            return self._error(404, f"unknown path {self.path}")
+        except RequestError as e:
+            return self._error(400, str(e))
+        except KeyError as e:
+            return self._error(404, str(e))
+        except Exception as e:  # pragma: no cover
+            log.exception("POST failed")
+            return self._error(500, str(e))
+
+    def _infer(self, model_name: str):
+        body = self._read_body()
+        try:
+            req = json.loads(body)
+        except json.JSONDecodeError as e:
+            return self._error(400, f"bad JSON: {e}")
+        tensors = {t.get("name"): t for t in req.get("inputs", [])}
+        if "KEYS" not in tensors or "NUMKEYS" not in tensors:
+            return self._error(
+                400,
+                "inputs KEYS (INT64) and NUMKEYS (INT32) are required "
+                "(reference model_state.cpp:180-261)",
+            )
+        try:
+            keys = np.asarray(tensors["KEYS"].get("data", []), dtype=np.int64)
+            numkeys = np.asarray(tensors["NUMKEYS"].get("data", []), dtype=np.int64)
+        except (TypeError, ValueError) as e:
+            return self._error(400, f"bad tensor data: {e}")
+        try:
+            resp = self.manager.infer(model_name, keys, numkeys)
+        except RequestError as e:
+            return self._error(400, str(e))
+        out = {
+            "model_name": model_name,
+            "parameters": {"NumSample": resp.num_samples, "DeviceID": resp.device_id},
+            "outputs": [
+                {
+                    "name": "OUTPUT0",
+                    "datatype": "FP32",
+                    "shape": [int(resp.output.shape[0])],
+                    "data": [float(x) for x in resp.output],
+                }
+            ],
+        }
+        return self._json(200, out)
+
+
+class HpsHttpServer:
+    """Threaded HTTP server wrapper with startup/shutdown control."""
+
+    def __init__(self, manager: ModelManager, host="127.0.0.1", port: int = 8000):
+        handler = type("BoundHandler", (_Handler,), {"manager": manager})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self.manager = manager
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True, name="hps-http"
+        )
+        self._thread.start()
+        log.info("serving on port %d", self.port)
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.manager.shutdown()
+
+
+def serve(ps_source, host="127.0.0.1", port=8000, block=True):
+    """Entry point: ``python -m hugectr_backend_tpu.serving.server ps.json``
+    (the reference's ``tritonserver --backend-config=hps,ps=...`` equivalent,
+    README.md:105-108)."""
+    manager = ModelManager.create(ps_source)
+    server = HpsHttpServer(manager, host, port).start()
+    if block:
+        try:
+            server._thread.join()
+        except KeyboardInterrupt:
+            server.stop()
+    return server
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ps_json", help="path to ps.json")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+    serve(args.ps_json, args.host, args.port)

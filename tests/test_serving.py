@@ -1,0 +1,206 @@
+"""Serving frontend tests: continuous batcher, model manager, HTTP API.
+
+Replicates the reference's acceptance-test surface (health check, repository
+index, end-to-end lookup over HTTP — reference sample notebooks + CI clients)
+in-process on CPU devices.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+from hugectr_backend_tpu.io.synthetic import expected_vector, make_synthetic_table
+from hugectr_backend_tpu.serving.model_manager import ModelManager
+from hugectr_backend_tpu.serving.scheduler import RequestError
+from hugectr_backend_tpu.serving.server import HpsHttpServer
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_repo")
+    tbl = make_synthetic_table(3000, 16, seed=21)
+    write_sparse_model(root / "t0", tbl.keys, tbl.vectors)
+    ps_json = {
+        "models": [
+            {
+                "model": "dlrm",
+                "sparse_files": [str(root / "t0")],
+                "embedding_vecsize_per_table": [16],
+                "maxnum_catfeature_query_per_table_per_sample": [26],
+                "max_batch_size": 64,
+                "gpucacheper": 1.0,
+                "embedding_cache_type": "static",
+                "quant_bits": 32,
+                "num_of_worker_buffer_in_pool": 2,
+                "max_queue_delay_us": 200,
+            }
+        ]
+    }
+    manager = ModelManager.create(json.dumps(ps_json))
+    server = HpsHttpServer(manager, port=0).start()
+    yield server, tbl, root
+    server.stop()
+
+
+def _get(server, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def _post(server, path, obj=None):
+    data = json.dumps(obj).encode() if obj is not None else b""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=data, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_health_and_metadata(served):
+    server, _, _root = served
+    assert _get(server, "/v2/health/live")[0] == 200
+    assert _get(server, "/v2/health/ready")[0] == 200
+    assert _get(server, "/v2/models/dlrm/ready")[0] == 200
+    status, meta = _get(server, "/v2/models/dlrm")
+    assert status == 200
+    assert meta["inputs"][0]["name"] == "KEYS"
+    assert meta["embedding_vecsize_per_table"] == [16]
+    status, idx = _post(server, "/v2/repository/index")
+    assert status == 200 and idx[0]["name"] == "dlrm" and idx[0]["state"] == "READY"
+
+
+def test_http_infer_known_vectors(served):
+    server, tbl, _root = served
+    batch = 2
+    q = tbl.keys[: 26 * batch]
+    req = {
+        "inputs": [
+            {"name": "KEYS", "datatype": "INT64", "shape": [len(q)],
+             "data": [int(k) for k in q]},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1],
+             "data": [len(q)]},
+        ]
+    }
+    status, resp = _post(server, "/v2/models/dlrm/infer", req)
+    assert status == 200, resp
+    assert resp["parameters"]["NumSample"] == batch
+    out = np.asarray(resp["outputs"][0]["data"], dtype=np.float32).reshape(-1, 16)
+    np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)
+
+
+def test_http_infer_errors(served):
+    server, tbl, _root = served
+    # missing NUMKEYS
+    status, resp = _post(
+        server,
+        "/v2/models/dlrm/infer",
+        {"inputs": [{"name": "KEYS", "datatype": "INT64", "shape": [1], "data": [1]}]},
+    )
+    assert status == 400 and "NUMKEYS" in resp["error"]
+    # batch too large: 65 samples x 26 keys > max_batch_size 64
+    q = [0] * (65 * 26)
+    status, resp = _post(
+        server,
+        "/v2/models/dlrm/infer",
+        {"inputs": [
+            {"name": "KEYS", "datatype": "INT64", "shape": [len(q)], "data": q},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [len(q)]},
+        ]},
+    )
+    assert status == 400 and "max batch size" in resp["error"]
+    # unknown model
+    status, resp = _post(
+        server,
+        "/v2/models/nope/infer",
+        {"inputs": [
+            {"name": "KEYS", "datatype": "INT64", "shape": [0], "data": []},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [0]},
+        ]},
+    )
+    assert status == 400 and "not loaded" in resp["error"]
+
+
+def test_concurrent_clients_batched(served):
+    """Many concurrent single-sample requests share device batches and all
+    return correct results (continuous batching correctness)."""
+    server, tbl, _root = served
+    errs = []
+    rng = np.random.default_rng(3)
+
+    def client(i):
+        try:
+            idx = rng.integers(0, 3000, 26)
+            q = tbl.keys[idx]
+            resp = server.manager.infer("dlrm", q, [26])
+            out = resp.output.reshape(26, 16)
+            np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)
+        except Exception as e:
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:3]
+
+
+def test_load_unload_cycle(served):
+    server, tbl, _root = served
+    mgr = server.manager
+    status, _ = _post(server, "/v2/repository/models/dlrm/unload")
+    assert status == 200
+    assert not mgr.is_loaded("dlrm")
+    assert _get(server, "/v2/models/dlrm/ready")[0] == 400
+    status, _ = _post(server, "/v2/repository/models/dlrm/load")
+    assert status == 200
+    assert mgr.is_loaded("dlrm")
+    # still serves correctly after reload
+    resp = mgr.infer("dlrm", tbl.keys[:26], [26])
+    np.testing.assert_allclose(
+        resp.output.reshape(26, 16), expected_vector(tbl.keys[:26], 16), rtol=1e-5
+    )
+
+
+def test_metrics_endpoint(served):
+    server, tbl, _root = served
+    server.manager.infer("dlrm", tbl.keys[:26], [26])
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as r:
+        text = r.read().decode()
+    assert "hps_inference_request_success" in text
+    assert 'model="dlrm"' in text
+    assert "hps_inference_request_duration_seconds_bucket" in text
+
+
+def test_version_bump_schedules_refresh(served):
+    server, tbl, root = served
+    mgr = server.manager
+    # True online-redeploy path (reference hps.cc:207-219 + model_state.cpp:
+    # 413-418): the trainer writes NEW sparse files, the model is loaded with
+    # a bumped version; load re-reads the files into the tiers and schedules a
+    # one-shot async cache refresh (refresh_delay=0) that propagates the new
+    # vectors into the resident HBM cache.
+    new_vecs = np.full((tbl.num_rows, 16), 3.25, np.float32)
+    write_sparse_model(root / "t0", tbl.keys, new_vecs)
+    mgr.load("dlrm", version=2)
+    import time
+
+    out = None
+    for _ in range(50):
+        out = mgr.infer("dlrm", tbl.keys[:1], [1]).output.reshape(1, 16)
+        if np.allclose(out, 3.25):
+            break
+        time.sleep(0.1)
+    np.testing.assert_allclose(out, np.full((1, 16), 3.25))
+    # restore original table for any later tests
+    write_sparse_model(root / "t0", tbl.keys, tbl.vectors)
