@@ -56,6 +56,20 @@ class HierParameterServer:
             from hugectr_backend_tpu.tiers.ssd import SsdKVTier
 
             self.ssd = SsdKVTier(config.persistent_db)
+        # Streaming update ingestion (reference Kafka consumer, README.md:213-218).
+        self.update_consumer = None
+        from hugectr_backend_tpu.config.params import UpdateSourceType
+
+        if config.update_source.type != UpdateSourceType.NONE:
+            from hugectr_backend_tpu.update.source import (
+                UpdateConsumer,
+                make_update_source,
+            )
+
+            source = make_update_source(config.update_source)
+            self.update_consumer = UpdateConsumer(
+                source, self._apply_update_by_tag, config.update_source
+            ).start()
         # caches[model_name][device_id] -> EmbeddingCache
         self._caches: dict[str, dict[int, EmbeddingCache]] = {}
         # Raw (keys, vectors) kept per table while tiers don't cover them:
@@ -229,6 +243,25 @@ class HierParameterServer:
             self._model_versions[model_name] = version
 
     # ------------------------------------------------------------- update path
+
+    def _apply_update_by_tag(self, tag: str, keys: np.ndarray, vectors: np.ndarray):
+        """Route one streamed update batch into the tiers, honoring the
+        per-tier ``update_filters`` regexes (reference
+        docs/hierarchical_parameter_server.md update-filter semantics)."""
+        import re
+
+        if any(re.match(f, tag) for f in self.config.volatile_db.update_filters):
+            if tag not in self.dram.tables():
+                self.dram.create_table(tag, int(np.asarray(vectors).shape[-1]))
+            self.dram.insert(tag, keys, vectors)
+        if self.ssd is not None and any(
+            re.match(f, tag) for f in self.config.persistent_db.update_filters
+        ):
+            self.ssd.insert(tag, keys, vectors)
+
+    def shutdown(self):
+        if self.update_consumer is not None:
+            self.update_consumer.stop()
 
     def apply_updates(self, model_name: str, table_idx: int,
                       keys: np.ndarray, vectors: np.ndarray) -> None:
