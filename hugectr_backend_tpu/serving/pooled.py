@@ -1,0 +1,130 @@
+"""Variable-length multi-hot lookups with fused pooling (DIN-style).
+
+BASELINE config 4: "Sequence recsys (DIN-style) with variable-length
+multi-hot lookups and fused pooling". The reference expresses variable
+length through the request format — per-table NUMKEYS totals with a
+``maxnum_catfeature_query_per_table_per_sample`` padding bound (reference
+docs/architecture.md:98,220-231) — and returns unpooled vectors, leaving
+pooling to the dense backend. Here pooling fuses into the lookup program:
+the [B, S, D] gathered block never round-trips through HBM; the masked
+sum/mean feeds the dense net directly (one XLA program).
+
+Shapes are static: keys are padded host-side to ``S = maxnum_cat_t`` per
+sample; ``seq_len`` masks the live prefix. Padding slots point at the default
+row, so even an unmasked sum would only add default-value rows — the mask
+exists for ``mean`` pooling correctness and for nonzero default values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hugectr_backend_tpu.cache.embedding_cache import EmbeddingCache
+from hugectr_backend_tpu.tiers.hbm import gather_dequant_xla
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "max_len", "mode"))
+def _pooled_gather(values, scales, slots, seq_len, batch: int, max_len: int,
+                   mode: str = "sum"):
+    """slots [B*S] -> pooled [B, D] with masked sum/mean pooling fused in."""
+    flat = gather_dequant_xla(values, scales, slots)  # [B*S, D]
+    emb = flat.reshape(batch, max_len, flat.shape[-1])
+    mask = (
+        jnp.arange(max_len)[None, :] < seq_len[:, None]
+    ).astype(emb.dtype)[..., None]
+    summed = (emb * mask).sum(axis=1)
+    if mode == "mean":
+        denom = jnp.maximum(seq_len.astype(summed.dtype), 1.0)[:, None]
+        return summed / denom
+    return summed
+
+
+def pooled_lookup(
+    cache: EmbeddingCache,
+    table_idx: int,
+    keys: np.ndarray,
+    seq_len: Optional[np.ndarray] = None,
+    mode: str = "sum",
+) -> jax.Array:
+    """Multi-hot pooled lookup: keys [B, S] (padded), seq_len [B] -> [B, D].
+
+    ``seq_len=None`` means all S keys are live. Padding key positions may
+    hold any value; they are masked out (and unknown keys hit the default
+    row anyway, preserving reference miss semantics).
+    """
+    keys = np.asarray(keys, dtype=np.int64)
+    if keys.ndim != 2:
+        raise ValueError(f"keys must be [batch, max_len], got {keys.shape}")
+    b, s = keys.shape
+    if seq_len is None:
+        seq_len = np.full(b, s, np.int32)
+    slots = cache.translate(table_idx, keys.reshape(-1)).astype(np.int32)
+    table = cache.tables[table_idx]
+    return _pooled_gather(
+        table.values,
+        table.scales,
+        jnp.asarray(slots),
+        jnp.asarray(np.asarray(seq_len, np.int32)),
+        batch=b,
+        max_len=s,
+        mode=mode,
+    )
+
+
+class FusedDinServer:
+    """DIN serving: target lookup + sequence pooled-attention + dense MLP in
+    one program per batch shape.
+
+    The behavior-sequence embeddings stay on device end-to-end: gather ->
+    attention pooling -> MLP is one XLA executable.
+    """
+
+    def __init__(self, params, cache, model, model_params,
+                 target_table: int = 0, seq_table: int = 1):
+        self.params = params
+        self.cache = cache
+        self.model = model
+        self.model_params = model_params
+        self.target_table = target_table
+        self.seq_table = seq_table
+        self.max_seq = params.maxnum_catfeature_query_per_table_per_sample[seq_table]
+
+        @functools.partial(jax.jit, static_argnames=("batch", "max_len"))
+        def fwd(mp, tv, ts, sv, ss, tslots, sslots, seq_len, dense,
+                batch: int, max_len: int):
+            target = gather_dequant_xla(tv, ts, tslots)  # [B, D]
+            seq = gather_dequant_xla(sv, ss, sslots).reshape(
+                batch, max_len, -1
+            )
+            return self.model.apply(mp, dense, target, seq, seq_len)
+
+        self._fwd = fwd
+
+    def predict(self, target_keys, seq_keys, seq_len, dense) -> jax.Array:
+        """target_keys [B]; seq_keys [B, S] padded; seq_len [B]; dense [B, Nd]."""
+        dense = np.asarray(dense, dtype=np.float32)
+        b = dense.shape[0]
+        seq_keys = np.asarray(seq_keys, dtype=np.int64).reshape(b, -1)
+        s = seq_keys.shape[1]
+        tslots = self.cache.translate(
+            self.target_table, np.asarray(target_keys, np.int64).reshape(-1)
+        ).astype(np.int32)
+        sslots = self.cache.translate(self.seq_table, seq_keys.reshape(-1)).astype(
+            np.int32
+        )
+        tt = self.cache.tables[self.target_table]
+        st = self.cache.tables[self.seq_table]
+        return self._fwd(
+            self.model_params,
+            tt.values, tt.scales, st.values, st.scales,
+            jnp.asarray(tslots), jnp.asarray(sslots),
+            jnp.asarray(np.asarray(seq_len, np.int32)),
+            jnp.asarray(dense),
+            batch=b, max_len=s,
+        )

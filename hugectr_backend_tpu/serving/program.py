@@ -81,3 +81,73 @@ class FusedDlrmServer:
             jnp.asarray(slots),
             jnp.asarray(dense),
         )
+
+
+class FusedMultiTableServer:
+    """Generic fused server for models consuming one pooled/stacked embedding
+    block per table: gathers every table, reshapes to per-table [B, K_t, D_t]
+    and hands the list to ``assemble_fn(model_params, dense, embs)``.
+
+    Specializations below mirror the reference's model families (WDL, DCN —
+    reference samples deploy these through TF/TRT ensembles; here the dense
+    graph fuses with the lookups into one XLA program).
+    """
+
+    def __init__(self, params: InferenceParams, cache: EmbeddingCache, assemble_fn):
+        self.params = params
+        self.cache = cache
+        self.keys_per_sample = list(
+            params.maxnum_catfeature_query_per_table_per_sample
+        )
+
+        @functools.partial(jax.jit, static_argnames=("batch",))
+        def fwd(values_list, scales_list, slots_list, dense, batch: int):
+            embs = []
+            for v, s, sl, k in zip(
+                values_list, scales_list, slots_list, self.keys_per_sample
+            ):
+                flat = gather_dequant_xla(v, s, sl)
+                embs.append(flat.reshape(batch, k, flat.shape[-1]))
+            return assemble_fn(dense, embs)
+
+        self._fwd = fwd
+
+    def predict(self, keys_per_table, dense) -> jax.Array:
+        """keys_per_table[t]: [B, K_t] (or flat B*K_t); dense [B, Nd]."""
+        dense = np.asarray(dense, dtype=np.float32)
+        b = dense.shape[0]
+        slots_list = []
+        for t, keys in enumerate(keys_per_table):
+            keys = np.asarray(keys, dtype=np.int64).reshape(
+                b * self.keys_per_sample[t]
+            )
+            slots_list.append(
+                jnp.asarray(self.cache.translate(t, keys).astype(np.int32))
+            )
+        return self._fwd(
+            [tb.values for tb in self.cache.tables],
+            [tb.scales for tb in self.cache.tables],
+            slots_list,
+            jnp.asarray(dense),
+            batch=b,
+        )
+
+
+def make_wdl_server(params, cache, model, model_params):
+    """WDL: table 0 = wide (vecsize 1), table 1 = deep (reference WDL demo
+    config, SURVEY §6: 2 tables, vecsize [1, 16])."""
+
+    def assemble(dense, embs):
+        return model.apply(model_params, dense, embs[0], embs[1])
+
+    return FusedMultiTableServer(params, cache, assemble)
+
+
+def make_dcn_server(params, cache, model, model_params):
+    """DCN-v2: all tables stacked on the feature axis (equal dims)."""
+
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)  # [B, sum K_t, D]
+        return model.apply(model_params, dense, emb)
+
+    return FusedMultiTableServer(params, cache, assemble)

@@ -160,18 +160,26 @@ class ContinuousBatcher:
             self._execute(batch)
 
     def _execute(self, batch: list[InferRequest]):
+        from hugectr_backend_tpu.utils.tracing import annotate
+
         t0 = time.perf_counter()
         model = self.params.model_name
         for r in batch:
             metrics.QUEUE_LATENCY.observe(t0 - r.enqueue_time, model=model)
         try:
             n_tables = self.params.num_tables
-            # Merge: concatenate per-table key runs across requests.
-            split_keys = [self.session.split_request(r.keys, r.num_keys) for r in batch]
-            merged = [
-                np.concatenate([sk[t] for sk in split_keys]) for t in range(n_tables)
-            ]
-            outs = self.session.lookup_numpy(merged)
+            # Merge: concatenate per-table key runs across requests
+            # (the reference's per-request ProcessRequest, batched —
+            # hps.cc:586-672; NVTX-equivalent annotation for profiling).
+            with annotate(f"ProcessBatch/{model}"):
+                split_keys = [
+                    self.session.split_request(r.keys, r.num_keys) for r in batch
+                ]
+                merged = [
+                    np.concatenate([sk[t] for sk in split_keys])
+                    for t in range(n_tables)
+                ]
+                outs = self.session.lookup_numpy(merged)
             # Split back per request.
             offsets = [0] * n_tables
             for bi, r in enumerate(batch):

@@ -1,0 +1,107 @@
+"""Fused WDL / DCN-v2 serving (multi-table lookup + dense in one program)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hugectr_backend_tpu import HierParameterServer
+from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+from hugectr_backend_tpu.io.synthetic import expected_vector, make_synthetic_table
+from hugectr_backend_tpu.models.dcn import DCNv2
+from hugectr_backend_tpu.models.wdl import WideAndDeep
+from hugectr_backend_tpu.serving.program import make_dcn_server, make_wdl_server
+
+
+@pytest.fixture(scope="module")
+def wdl_deploy(tmp_path_factory):
+    """The reference WDL demo shape: 2 tables, vecsize [1, 16], 2+26 keys."""
+    root = tmp_path_factory.mktemp("wdl_repo")
+    wide = make_synthetic_table(400, 1, seed=61)
+    deep = make_synthetic_table(900, 16, seed=62)
+    write_sparse_model(root / "wide", wide.keys, wide.vectors)
+    write_sparse_model(root / "deep", deep.keys, deep.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "wdl",
+                    "sparse_files": [str(root / "wide"), str(root / "deep")],
+                    "embedding_vecsize_per_table": [1, 16],
+                    "maxnum_catfeature_query_per_table_per_sample": [2, 26],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    return ps, wide, deep
+
+
+def test_fused_wdl(wdl_deploy):
+    ps, wide, deep = wdl_deploy
+    b, nd = 4, 13
+    model = WideAndDeep(deep_widths=(64, 1))
+    rng = np.random.default_rng(2)
+    mp = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, nd)), jnp.zeros((b, 2, 1)), jnp.zeros((b, 26, 16)),
+    )
+    srv = make_wdl_server(
+        ps.get_model_params("wdl"), ps.get_embedding_cache("wdl", 0), model, mp
+    )
+    wkeys = wide.keys[rng.integers(0, 400, (b, 2))]
+    dkeys = deep.keys[rng.integers(0, 900, (b, 26))]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    logits = np.asarray(srv.predict([wkeys, dkeys], dense))
+    assert logits.shape == (b,) and np.isfinite(logits).all()
+    # The wide part contributes sum of its scalar embeddings — check the
+    # contribution is exactly reflected by shifting wide keys to misses.
+    logits_nowide = np.asarray(
+        srv.predict([np.full((b, 2), -1, np.int64), dkeys], dense)
+    )
+    wide_contrib = expected_vector(wkeys.reshape(-1), 1).reshape(b, 2).sum(axis=1)
+    np.testing.assert_allclose(logits - logits_nowide, wide_contrib, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_dcn(tmp_path):
+    tbls = [make_synthetic_table(300 + 100 * t, 8, seed=70 + t) for t in range(3)]
+    for t, tbl in enumerate(tbls):
+        write_sparse_model(tmp_path / f"t{t}", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dcn",
+                    "sparse_files": [str(tmp_path / f"t{t}") for t in range(3)],
+                    "embedding_vecsize_per_table": [8, 8, 8],
+                    "maxnum_catfeature_query_per_table_per_sample": [1, 1, 2],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    b, nd = 5, 4
+    model = DCNv2(num_cross_layers=2, cross_rank=8, deep_widths=(32,), head_widths=(16, 1))
+    rng = np.random.default_rng(3)
+    mp = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((b, nd)), jnp.zeros((b, 4, 8))
+    )
+    srv = make_dcn_server(
+        ps.get_model_params("dcn"), ps.get_embedding_cache("dcn", 0), model, mp
+    )
+    keys = [
+        tbls[0].keys[rng.integers(0, 300, (b, 1))],
+        tbls[1].keys[rng.integers(0, 400, (b, 1))],
+        tbls[2].keys[rng.integers(0, 500, (b, 2))],
+    ]
+    logits = np.asarray(srv.predict(keys, rng.standard_normal((b, nd)).astype(np.float32)))
+    assert logits.shape == (b,) and np.isfinite(logits).all()
+    # Deterministic: same keys + same dense -> same logits.
+    logits2 = np.asarray(srv.predict(keys, np.zeros((b, nd), np.float32)))
+    logits3 = np.asarray(srv.predict(keys, np.zeros((b, nd), np.float32)))
+    np.testing.assert_allclose(logits2, logits3, rtol=1e-5)
