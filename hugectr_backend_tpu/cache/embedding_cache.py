@@ -218,21 +218,17 @@ class EmbeddingCache:
             quantize_rows_fp8,
             quantize_rows_int8,
         )
+        from hugectr_backend_tpu.tiers.hbm import scatter_rows, scatter_scales
 
         table = self.tables[table_idx]
         slots = jnp.asarray(np.asarray(slots, dtype=np.int32))
-        if table.quant == "int8":
-            q, s = quantize_rows_int8(vectors)
-            table.values = table.values.at[slots].set(jnp.asarray(q), mode="drop")
-            table.scales = table.scales.at[slots].set(jnp.asarray(s), mode="drop")
-        elif table.quant == "fp8":
-            q, s = quantize_rows_fp8(vectors)
-            table.values = table.values.at[slots].set(jnp.asarray(q), mode="drop")
-            table.scales = table.scales.at[slots].set(jnp.asarray(s), mode="drop")
+        if table.quant in ("int8", "fp8"):
+            quantize = quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
+            q, s = quantize(vectors)
+            table.values = scatter_rows(table.values, slots, jnp.asarray(q))
+            table.scales = scatter_scales(table.scales, slots, jnp.asarray(s))
         else:
-            table.values = table.values.at[slots].set(
-                jnp.asarray(vectors, dtype=table.values.dtype), mode="drop"
-            )
+            table.values = scatter_rows(table.values, slots, jnp.asarray(vectors))
 
     def nbytes(self) -> int:
         return sum(t.nbytes() for t in self.tables)

@@ -147,6 +147,25 @@ class DeviceTable:
         else:
             raise ValueError(f"unknown quant mode {quant!r}")
 
+        # Huge tables are stored blocked as [K, SUB, D]: a single XLA gather
+        # over a many-million-row operand triggers pathological compile times
+        # on the TPU AOT compiler (observed: 1M rows compiles in seconds,
+        # 10M rows does not finish in >10 min). Blocking keeps every gather
+        # operand at <= SUB rows; the lookup decomposes slot -> (block, row)
+        # and gathers with 2-coordinate indices. Padding rows replicate the
+        # default row, so out-of-range slots stay miss-safe.
+        sub = max_rows_per_block()
+        if vals.shape[0] > sub:
+            k = -(-vals.shape[0] // sub)
+            pad = k * sub - vals.shape[0]
+            if pad:
+                vals = np.concatenate([vals, np.repeat(vals[-1:], pad, axis=0)])
+                if scales is not None:
+                    scales = np.concatenate([scales, np.repeat(scales[-1:], pad)])
+            vals = vals.reshape(k, sub, dim)
+            if scales is not None:
+                scales = scales.reshape(k, sub)
+
         put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
         return cls(
             values=put(vals),
@@ -169,6 +188,69 @@ class DeviceTable:
         return int(n)
 
 
+def max_rows_per_block() -> int:
+    """Rows-per-gather-operand cap (see DeviceTable.from_numpy blocking note).
+
+    1,048,576 rows x 128 int8 = 128 MB per block — comfortably inside the
+    fast-compiling region measured on v5e.
+    """
+    import os
+
+    return int(os.environ.get("HPS_TPU_MAX_GATHER_ROWS", 1 << 20))
+
+
+def _gather_rows(values: jax.Array, slots: jax.Array) -> jax.Array:
+    """Row gather supporting flat [R, D] and blocked [K, SUB, D] layouts."""
+    if values.ndim == 2:
+        return jnp.take(values, slots, axis=0)
+    k, sub, d = values.shape
+    block = slots // sub
+    row = slots % sub
+    # Two-coordinate gather: operand [K, SUB, D], indices [N, 2],
+    # slice (1, 1, D). Each gather touches one row; no operand dim exceeds
+    # SUB, keeping the TPU AOT compiler in its fast region.
+    idx = jnp.stack([block, row], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,),
+        collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        values, idx, dnums, slice_sizes=(1, 1, d), mode=jax.lax.GatherScatterMode.CLIP
+    )
+
+
+def _gather_scales(scales: jax.Array, slots: jax.Array) -> jax.Array:
+    if scales.ndim == 1:
+        return jnp.take(scales, slots, axis=0)
+    k, sub = scales.shape
+    idx = jnp.stack([slots // sub, slots % sub], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0, 1), start_index_map=(0, 1)
+    )
+    return jax.lax.gather(
+        scales, idx, dnums, slice_sizes=(1, 1), mode=jax.lax.GatherScatterMode.CLIP
+    )
+
+
+def scatter_rows(values: jax.Array, slots: jax.Array, rows: jax.Array) -> jax.Array:
+    """values[slots] = rows (functional), both flat and blocked layouts.
+    Out-of-range slots (padding) are dropped."""
+    if values.ndim == 2:
+        return values.at[slots].set(rows.astype(values.dtype), mode="drop")
+    k, sub, d = values.shape
+    return values.at[slots // sub, slots % sub].set(
+        rows.astype(values.dtype), mode="drop"
+    )
+
+
+def scatter_scales(scales: jax.Array, slots: jax.Array, s: jax.Array) -> jax.Array:
+    if scales.ndim == 1:
+        return scales.at[slots].set(s, mode="drop")
+    k, sub = scales.shape
+    return scales.at[slots // sub, slots % sub].set(s, mode="drop")
+
+
 def gather_dequant_xla(
     values: jax.Array, scales: Optional[jax.Array], slots: jax.Array
 ) -> jax.Array:
@@ -176,12 +258,12 @@ def gather_dequant_xla(
 
     ``table[slots].astype(f32) * scales[slots][:, None]`` — XLA fuses the
     dequant multiply into the gather consumer; int8/fp8 storage halves/quarters
-    the HBM bytes moved vs fp32, which is the entire bandwidth win.
+    the HBM bytes per row and doubles the rows that fit the fast-gather
+    region. Accepts flat [R, D] or blocked [K, SUB, D] table layouts.
     The Pallas fused kernel (ops/dequant_gather.py) is the tuned alternative;
     both produce identical results.
     """
-    rows = jnp.take(values, slots, axis=0, fill_value=None)
-    out = rows.astype(jnp.float32)
+    out = _gather_rows(values, slots).astype(jnp.float32)
     if scales is not None:
-        out = out * jnp.take(scales, slots, axis=0)[:, None]
+        out = out * _gather_scales(scales, slots)[:, None]
     return out
