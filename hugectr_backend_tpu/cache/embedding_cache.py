@@ -232,3 +232,96 @@ class EmbeddingCache:
 
     def nbytes(self) -> int:
         return sum(t.nbytes() for t in self.tables)
+
+
+class DynamicEmbeddingCache(EmbeddingCache):
+    """DYNAMIC / STOCHASTIC / UVM cache flavors: online insert on miss.
+
+    Implements the reference's dynamic GPU-cache behavior (reference
+    README.md:204-205; docs/architecture.md:65-67):
+    - misses fetched from the lower tiers are INSERTED into the HBM cache;
+    - while the measured hit rate is below ``hit_rate_threshold`` inserts are
+      synchronous (cold cache fills fast); above it they are asynchronous on
+      a worker pool (hot cache never blocks the lookup stream);
+    - STOCHASTIC inserts a random subset (bounds insert bandwidth);
+    - capacity is fixed (``gpucacheper`` x table rows); the LRU resident is
+      evicted (host-side SlotMap owns the index, device rows are stable).
+    """
+
+    def __init__(self, params, tables, device=None, tier_query=None):
+        super().__init__(params, tables, device=device, tier_query=tier_query)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from hugectr_backend_tpu.cache.slotmap import make_slotmap
+
+        self.slotmaps = []
+        for t in self.tables:
+            sm = make_slotmap(t.capacity)
+            if t.capacity:
+                # Resident rows were written sorted: slot i == i-th sorted key.
+                slots, _ = sm.acquire(t.index.sorted_keys)
+                assert slots[0] == 0 if t.capacity else True
+            self.slotmaps.append(sm)
+        self._insert_pool = ThreadPoolExecutor(
+            max_workers=max(params.num_of_worker_buffer_in_pool, 1),
+            thread_name_prefix=f"hps-insert-{params.model_name}",
+        )
+        self._rng = np.random.default_rng(0)
+
+    def translate(self, table_idx: int, keys: np.ndarray) -> np.ndarray:
+        # Taken under the cache lock so a key never becomes visible between
+        # slot acquisition and the row write in _insert (stale-row race).
+        with self._lock:
+            return self.slotmaps[table_idx].translate(keys)
+
+    def _on_miss_fetched(self, table_idx, keys, vectors):
+        if keys.shape[0] == 0:
+            return
+        from hugectr_backend_tpu.config.params import EmbeddingCacheType
+
+        if self.params.embedding_cache_type == EmbeddingCacheType.STOCHASTIC:
+            pick = self._rng.random(keys.shape[0]) < 0.5
+            keys, vectors = keys[pick], vectors[pick]
+            if keys.shape[0] == 0:
+                return
+        # Sync below the hit-rate threshold, async above
+        # (docs/hierarchical_parameter_server.md:175-179).
+        if self.hit_meter.rate(table_idx) < self.params.hit_rate_threshold:
+            self._insert(table_idx, keys, vectors)
+        else:
+            self._insert_pool.submit(self._insert, table_idx, keys.copy(), vectors.copy())
+
+    def _insert(self, table_idx, keys, vectors):
+        with self._lock:
+            slots, _evicted = self.slotmaps[table_idx].acquire(keys)
+            self._write_rows(table_idx, slots, vectors)
+
+    def refresh(self, fraction=None) -> int:
+        """Refresh resident rows from the tiers, slotmap-aware."""
+        if self.tier_query is None:
+            return 0
+        frac = (
+            self.params.cache_refresh_percentage_per_iteration
+            if fraction is None
+            else fraction
+        )
+        refreshed = 0
+        for t in range(len(self.tables)):
+            keys, slots = self.slotmaps[t].resident()
+            n_res = keys.shape[0]
+            if n_res == 0:
+                continue
+            n = max(int(n_res * frac), 1) if frac < 1.0 else n_res
+            start = getattr(self.tables[t], "_refresh_cursor", 0) % n_res
+            idx = (np.arange(n) + start) % n_res
+            setattr(self.tables[t], "_refresh_cursor", int((start + n) % n_res))
+            vecs, found = self.tier_query(t, keys[idx])
+            if not found.any():
+                continue
+            with self._lock:
+                self._write_rows(t, slots[idx][found], vecs[found])
+            refreshed += int(found.sum())
+        return refreshed
+
+    def shutdown(self):
+        self._insert_pool.shutdown(wait=False)

@@ -325,3 +325,173 @@ int64_t hps_kv_keys(void* h, int64_t* out_keys, int64_t cap) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SlotMap: fixed-capacity key -> slot index with LRU eviction.
+//
+// Host-side index for the DYNAMIC HBM embedding cache (the reference's
+// dynamic GPU cache maintains exactly this mapping device-side in CUDA,
+// reference backend.cpp:483-491 cache types; here the host owns the index
+// and the device stores rows at stable slot ids). `acquire` implements the
+// insert path: present keys return their slot; new keys take a free slot or
+// evict the least-recently-used one.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SlotMap {
+  int64_t capacity;
+  std::vector<int64_t> slot_key;   // hash table: probe slot -> key
+  std::vector<uint32_t> slot_val;  // probe slot -> cache slot id
+  size_t mask = 0;
+  std::vector<int64_t> cache_key;  // cache slot id -> key (kEmpty if free)
+  std::vector<uint64_t> last_used; // cache slot id -> tick
+  std::vector<uint32_t> free_list;
+  uint64_t tick = 0;
+  std::mutex mu;
+
+  explicit SlotMap(int64_t cap) : capacity(cap) {
+    size_t hcap = 1024;
+    while (hcap * 3 < static_cast<size_t>(cap) * 5) hcap *= 2;  // load <= 0.6
+    slot_key.assign(hcap, kEmpty);
+    slot_val.assign(hcap, 0);
+    mask = hcap - 1;
+    cache_key.assign(cap, kEmpty);
+    last_used.assign(cap, 0);
+    free_list.reserve(cap);
+    for (int64_t i = cap - 1; i >= 0; --i)
+      free_list.push_back(static_cast<uint32_t>(i));
+  }
+
+  inline size_t find(int64_t key) const {
+    size_t i = Partition::hash_key(key) & mask;
+    while (true) {
+      if (slot_key[i] == key) return i;
+      if (slot_key[i] == kEmpty) return SIZE_MAX;
+      i = (i + 1) & mask;
+    }
+  }
+
+  inline void place(int64_t key, uint32_t val) {
+    size_t i = Partition::hash_key(key) & mask;
+    while (slot_key[i] != kEmpty) i = (i + 1) & mask;
+    slot_key[i] = key;
+    slot_val[i] = val;
+  }
+
+  void erase_probe(size_t i) {
+    slot_key[i] = kEmpty;
+    size_t j = i;
+    while (true) {
+      j = (j + 1) & mask;
+      if (slot_key[j] == kEmpty) break;
+      size_t ideal = Partition::hash_key(slot_key[j]) & mask;
+      if ((i < j) ? (ideal <= i || ideal > j) : (ideal <= i && ideal > j)) {
+        slot_key[i] = slot_key[j];
+        slot_val[i] = slot_val[j];
+        slot_key[j] = kEmpty;
+        i = j;
+      }
+    }
+  }
+
+  uint32_t evict_lru() {
+    uint64_t best = UINT64_MAX;
+    uint32_t victim = 0;
+    for (int64_t s = 0; s < capacity; ++s) {
+      if (cache_key[s] != kEmpty && last_used[s] < best) {
+        best = last_used[s];
+        victim = static_cast<uint32_t>(s);
+      }
+    }
+    return victim;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hps_slotmap_create(int64_t capacity) { return new SlotMap(capacity); }
+void hps_slotmap_destroy(void* h) { delete static_cast<SlotMap*>(h); }
+
+// Translate n keys -> cache slots; missing keys get `miss_slot`. touch=1
+// refreshes LRU ticks for hits.
+void hps_slotmap_translate(void* h, int64_t n, const int64_t* keys,
+                           int32_t* out_slots, int32_t miss_slot, int touch) {
+  auto* m = static_cast<SlotMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  ++m->tick;
+  for (int64_t i = 0; i < n; ++i) {
+    size_t p = m->find(keys[i]);
+    if (p == SIZE_MAX) {
+      out_slots[i] = miss_slot;
+    } else {
+      uint32_t s = m->slot_val[p];
+      out_slots[i] = static_cast<int32_t>(s);
+      if (touch) m->last_used[s] = m->tick;
+    }
+  }
+}
+
+// Acquire slots for n keys (insert path). Existing keys keep their slot; new
+// keys take a free slot or evict the LRU entry. out_slots[n]; out_evicted[n]
+// receives the evicted key per insert (kEmpty/INT64_MIN if none). Returns the
+// number of NEW insertions.
+int64_t hps_slotmap_acquire(void* h, int64_t n, const int64_t* keys,
+                            int32_t* out_slots, int64_t* out_evicted) {
+  auto* m = static_cast<SlotMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  ++m->tick;
+  int64_t inserted = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    out_evicted[i] = kEmpty;
+    size_t p = m->find(keys[i]);
+    if (p != SIZE_MAX) {
+      uint32_t s = m->slot_val[p];
+      m->last_used[s] = m->tick;
+      out_slots[i] = static_cast<int32_t>(s);
+      continue;
+    }
+    uint32_t s;
+    if (!m->free_list.empty()) {
+      s = m->free_list.back();
+      m->free_list.pop_back();
+    } else {
+      s = m->evict_lru();
+      out_evicted[i] = m->cache_key[s];
+      size_t vp = m->find(m->cache_key[s]);
+      if (vp != SIZE_MAX) m->erase_probe(vp);
+    }
+    m->cache_key[s] = keys[i];
+    m->last_used[s] = m->tick;
+    m->place(keys[i], s);
+    out_slots[i] = static_cast<int32_t>(s);
+    ++inserted;
+  }
+  return inserted;
+}
+
+int64_t hps_slotmap_size(void* h) {
+  auto* m = static_cast<SlotMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  return m->capacity - static_cast<int64_t>(m->free_list.size());
+}
+
+// Dump resident keys + their slots; returns count written.
+int64_t hps_slotmap_keys(void* h, int64_t* out_keys, int32_t* out_slots,
+                         int64_t cap) {
+  auto* m = static_cast<SlotMap*>(h);
+  std::lock_guard<std::mutex> lock(m->mu);
+  int64_t w = 0;
+  for (int64_t s = 0; s < m->capacity && w < cap; ++s) {
+    if (m->cache_key[s] != kEmpty) {
+      out_keys[w] = m->cache_key[s];
+      out_slots[w] = static_cast<int32_t>(s);
+      ++w;
+    }
+  }
+  return w;
+}
+
+}  // extern "C"

@@ -177,15 +177,16 @@ class HierParameterServer:
                 device=device,
             )
             tables.append(table)
-        cache = EmbeddingCache(
-            params,
-            tables,
-            device=device,
-            tier_query=lambda ti, keys, m=params.model_name, p=params: self._query_tiers(
-                table_tag(m, p.table_name(ti)), keys
-            ),
+        tier_query = lambda ti, keys, m=params.model_name, p=params: self._query_tiers(
+            table_tag(m, p.table_name(ti)), keys
         )
-        return cache
+        if params.embedding_cache_type == EmbeddingCacheType.STATIC:
+            return EmbeddingCache(params, tables, device=device, tier_query=tier_query)
+        from hugectr_backend_tpu.cache.embedding_cache import DynamicEmbeddingCache
+
+        return DynamicEmbeddingCache(
+            params, tables, device=device, tier_query=tier_query
+        )
 
     def _tier_keys(self, tag: str) -> np.ndarray:
         keys = self.dram.keys(tag) if tag in self.dram.tables() else np.empty(0, np.int64)

@@ -1,0 +1,144 @@
+"""Dynamic HBM cache: online insert, LRU eviction, sync/async switch.
+
+Covers the reference's dynamic GPU-cache semantics (reference README.md:
+204-205, docs/architecture.md:65-67) on the TPU design: host SlotMap index +
+device row scatter.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from hugectr_backend_tpu import HierParameterServer, LookupSession
+from hugectr_backend_tpu.cache.slotmap import NativeSlotMap, PySlotMap
+from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+from hugectr_backend_tpu.io.synthetic import expected_vector, make_synthetic_table
+
+KEMPTY = np.iinfo(np.int64).min
+
+
+@pytest.mark.parametrize("cls", [PySlotMap, NativeSlotMap])
+def test_slotmap_semantics(cls):
+    sm = cls(4)
+    # empty: all misses
+    out = sm.translate(np.array([1, 2], np.int64))
+    assert out.tolist() == [4, 4]
+    # acquire assigns fresh slots in order
+    slots, ev = sm.acquire(np.array([10, 20, 30], np.int64))
+    assert sorted(slots.tolist()) == [0, 1, 2]
+    assert (ev == KEMPTY).all()
+    # translate now hits
+    out = sm.translate(np.array([20, 99], np.int64))
+    assert out[0] == slots[1] and out[1] == 4
+    # fill + evict LRU (10 is oldest untouched: touch 20,30 first)
+    sm.translate(np.array([20, 30], np.int64))
+    s2, ev2 = sm.acquire(np.array([40, 50], np.int64))
+    assert 10 in ev2.tolist()  # LRU victim was key 10
+    assert sm.size() == 4
+    keys, slots_r = sm.resident()
+    assert set(keys.tolist()) <= {20, 30, 40, 50}
+    # re-acquire existing key: same slot, no eviction
+    s3, ev3 = sm.acquire(np.array([20], np.int64))
+    assert (ev3 == KEMPTY).all()
+
+
+@pytest.fixture
+def dynamic_deploy(tmp_path):
+    tbl = make_synthetic_table(1000, 8, seed=91)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dyn",
+                    "sparse_files": [str(tmp_path / "t0")],
+                    "embedding_vecsize_per_table": [8],
+                    "maxnum_catfeature_query_per_table_per_sample": [8],
+                    "gpucacheper": 0.2,  # 200 of 1000 rows resident
+                    "embedding_cache_type": "dynamic",
+                    "hit_rate_threshold": 0.9,
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    return ps, tbl
+
+
+def test_dynamic_insert_on_miss(dynamic_deploy):
+    ps, tbl = dynamic_deploy
+    cache = ps.get_embedding_cache("dyn", 0)
+    sess = LookupSession.create(ps.get_model_params("dyn"), cache)
+    # Key outside the resident 200: first lookup misses (tier-merge serves it).
+    cold_key = tbl.keys[500:501]
+    assert cache.translate(0, cold_key)[0] == cache.slotmaps[0].miss_slot
+    out = sess.lookup_numpy([cold_key])[0]
+    np.testing.assert_allclose(out, expected_vector(cold_key, 8), rtol=1e-6)
+    # Hit rate starts ~1.0 (EWMA) -> above threshold -> async insert; wait.
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if cache.translate(0, cold_key)[0] != cache.slotmaps[0].miss_slot:
+            break
+        time.sleep(0.05)
+    assert cache.translate(0, cold_key)[0] != cache.slotmaps[0].miss_slot
+    # Served from HBM now, still exact.
+    out2 = sess.lookup_numpy([cold_key])[0]
+    np.testing.assert_allclose(out2, expected_vector(cold_key, 8), rtol=1e-6)
+
+
+def test_dynamic_capacity_bounded(dynamic_deploy):
+    ps, tbl = dynamic_deploy
+    cache = ps.get_embedding_cache("dyn", 0)
+    sess = LookupSession.create(ps.get_model_params("dyn"), cache)
+    # Force the hit rate below threshold so inserts are synchronous.
+    cache.hit_meter.rates[0] = 0.0
+    for i in range(0, 1000, 100):
+        sess.lookup_numpy([tbl.keys[i : i + 100]])
+    assert cache.slotmaps[0].size() == 200  # capacity never exceeded
+    # Everything still answers exactly (HBM or tier merge).
+    q = tbl.keys[np.random.default_rng(0).integers(0, 1000, 64)]
+    out = sess.lookup_numpy([q])[0]
+    np.testing.assert_allclose(out, expected_vector(q, 8), rtol=1e-6)
+
+
+def test_sync_insert_below_threshold(dynamic_deploy):
+    ps, tbl = dynamic_deploy
+    cache = ps.get_embedding_cache("dyn", 0)
+    sess = LookupSession.create(ps.get_model_params("dyn"), cache)
+    cache.hit_meter.rates[0] = 0.0  # below hit_rate_threshold -> sync insert
+    cold = tbl.keys[900:902]
+    sess.lookup_numpy([cold])
+    # Immediately resident (no wait): sync path.
+    assert (cache.translate(0, cold) != cache.slotmaps[0].miss_slot).all()
+
+
+def test_stochastic_cache_samples_inserts(tmp_path):
+    tbl = make_synthetic_table(400, 4, seed=92)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "st",
+                    "sparse_files": [str(tmp_path / "t0")],
+                    "embedding_vecsize_per_table": [4],
+                    "maxnum_catfeature_query_per_table_per_sample": [4],
+                    "gpucacheper": 0.25,
+                    "embedding_cache_type": "stochastic",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    cache = ps.get_embedding_cache("st", 0)
+    sess = LookupSession.create(ps.get_model_params("st"), cache)
+    cache.hit_meter.rates[0] = 0.0  # sync inserts
+    cold = tbl.keys[200:400]
+    sess.lookup_numpy([cold])
+    resident = (cache.translate(0, cold) != cache.slotmaps[0].miss_slot).sum()
+    # Stochastic: roughly half inserted (100 capacity limits it too).
+    assert 0 < resident <= 100
+    # Lookups stay exact regardless of what was inserted.
+    out = sess.lookup_numpy([cold[:50]])[0]
+    np.testing.assert_allclose(out, expected_vector(cold[:50], 4), rtol=1e-6)
