@@ -1,0 +1,133 @@
+"""Weight-only quantized dense layers (INT8 / FP8-e4m3) for serving.
+
+BASELINE config 5 calls for FP8 dense layers; the reference exposes
+``fp8_quant`` and ``use_mixed_precision`` (reference backend.cpp:500-504,
+docs/hierarchical_parameter_server.md InferenceParams). Design: weights are
+stored quantized per-output-column (symmetric absmax); the matmul runs in
+bf16 on the MXU with the dequant multiply fused into the weight operand by
+XLA. Activations stay bf16 (weight-only quantization — the serving-friendly
+scheme: no activation calibration needed, accuracy close to bf16).
+
+``quantize_dense_params`` converts a trained Flax ``Dense`` param tree in
+place, so existing checkpoints deploy quantized without retraining.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+INT8_QMAX = 127.0
+FP8_E4M3_MAX = 448.0
+
+
+def quantize_weight(w: np.ndarray, fmt: str = "int8"):
+    """[in, out] -> (q, scale[out]) column-wise symmetric."""
+    w = np.asarray(w, np.float32)
+    absmax = np.abs(w).max(axis=0)
+    absmax = np.where(absmax == 0, 1.0, absmax)
+    if fmt == "int8":
+        scale = (absmax / INT8_QMAX).astype(np.float32)
+        q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    elif fmt == "fp8":
+        import ml_dtypes
+
+        scale = (absmax / FP8_E4M3_MAX).astype(np.float32)
+        q = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+    else:
+        raise ValueError(fmt)
+    return q, scale
+
+
+class QuantDense(nn.Module):
+    """Dense layer with weight-only quantized kernel.
+
+    Parameters are ``kernel_q`` (int8/fp8), ``kernel_scale`` (f32 per column)
+    and ``bias`` (f32). Initialization quantizes a fresh normal kernel; for
+    deployment, overwrite params with :func:`quantize_dense_params` output.
+    """
+
+    features: int
+    fmt: str = "int8"  # "int8" | "fp8"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        qdtype = jnp.int8
+        if self.fmt == "fp8":
+            import ml_dtypes
+
+            qdtype = ml_dtypes.float8_e4m3fn
+
+        qmax = INT8_QMAX if self.fmt == "int8" else FP8_E4M3_MAX
+
+        def init_q(key, shape, dtype=None):
+            w = jax.nn.initializers.lecun_normal()(key, shape, jnp.float32)
+            scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / qmax
+            q = w / scale[None, :]
+            if self.fmt == "int8":
+                return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+            return q.astype(qdtype)
+
+        def init_s(key, shape, dtype=None):
+            w = jax.nn.initializers.lecun_normal()(
+                key, (in_features, self.features), jnp.float32
+            )
+            return jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / qmax
+
+        kernel_q = self.param("kernel_q", init_q, (in_features, self.features))
+        kernel_scale = self.param("kernel_scale", init_s, (self.features,))
+        # Dequant fuses into the matmul operand; compute in bf16 on the MXU.
+        w = kernel_q.astype(self.compute_dtype) * kernel_scale.astype(
+            self.compute_dtype
+        )[None, :]
+        y = jnp.dot(
+            x.astype(self.compute_dtype), w, preferred_element_type=jnp.float32
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y.astype(self.compute_dtype)
+
+
+class QuantMLP(nn.Module):
+    """MLP over QuantDense layers (drop-in for models.dlrm.MLP at serving)."""
+
+    widths: Sequence[int]
+    fmt: str = "int8"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    final_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.compute_dtype)
+        for i, w in enumerate(self.widths):
+            x = QuantDense(w, self.fmt, self.compute_dtype)(x)
+            if i + 1 < len(self.widths) or self.final_activation:
+                x = nn.relu(x)
+        return x
+
+
+def quantize_dense_params(dense_params: Any, fmt: str = "int8"):
+    """Convert a Flax param tree of ``Dense`` layers ({kernel, bias}) into the
+    QuantDense layout ({kernel_q, kernel_scale, bias})."""
+
+    def convert(node):
+        if isinstance(node, dict) and "kernel" in node:
+            q, s = quantize_weight(np.asarray(node["kernel"]), fmt)
+            out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        if isinstance(node, dict):
+            return {k: convert(v) for k, v in node.items()}
+        return node
+
+    return convert(dense_params)

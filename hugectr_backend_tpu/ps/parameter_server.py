@@ -93,6 +93,21 @@ class HierParameterServer:
                 ps.update_database_per_model(params)
                 if params.init_ec:
                     ps.create_embedding_cache_per_model(params.model_name)
+        else:
+            # Resume path (reference docs/hierarchical_parameter_server.md:488):
+            # skip the sparse-file load and reconnect to the pre-materialized
+            # persistent tier (the SSD store is durable across restarts, like
+            # the reference's Redis/RocksDB); caches warm from the tiers.
+            for params in config.models.values():
+                for t in range(params.num_tables):
+                    tag = table_tag(params.model_name, params.table_name(t))
+                    dim = params.embedding_vecsize_per_table[t]
+                    ps._table_dims[tag] = dim
+                    ps.dram.create_table(tag, dim)
+                    if ps.ssd is not None:
+                        ps.ssd.create_table(tag, dim)
+                if params.init_ec:
+                    ps.create_embedding_cache_per_model(params.model_name)
         return ps
 
     # ---------------------------------------------------- reference contract
