@@ -103,7 +103,9 @@ class EmbeddingCache:
         # DRAM/SSD tiers, injected by the parameter server.
         self.tier_query = tier_query
         self.hit_meter = _HitRateMeter(len(self.tables))
-        self._lock = threading.Lock()
+        # RLock: lookup takes it around translate+snapshot, and the dynamic
+        # subclass's translate() takes it again (re-entrant).
+        self._lock = threading.RLock()
 
     # -- reference-contract surface -----------------------------------------
 
@@ -135,25 +137,30 @@ class EmbeddingCache:
         """
         n_tables = len(self.tables)
         slots_list, counts, miss_info = [], [], []
-        for t in range(n_tables):
-            keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
-            n = keys.shape[0]
-            slots = self.translate(t, keys)
-            miss_mask = slots == self.tables[t].index.miss_slot
-            n_hit = int(n - miss_mask.sum())
-            self.hit_meter.update(t, n_hit, n)
-            padded = _bucket(max(n, 1))
-            slots_padded = np.full(padded, self.tables[t].index.miss_slot, np.int32)
-            slots_padded[:n] = slots
-            slots_list.append(jnp.asarray(slots_padded))
-            counts.append(n)
-            miss_info.append((keys, miss_mask))
+        # Translation and the values snapshot happen under ONE lock hold:
+        # table arrays are functional (inserts REPLACE them), so a snapshot
+        # consistent with the translated slots stays valid even if an insert
+        # lands while the gather runs.
+        with self._lock:
+            for t in range(n_tables):
+                keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
+                n = keys.shape[0]
+                slots = self.translate(t, keys)
+                miss_mask = slots == self.tables[t].index.miss_slot
+                n_hit = int(n - miss_mask.sum())
+                self.hit_meter.update(t, n_hit, n)
+                padded = _bucket(max(n, 1))
+                slots_padded = np.full(
+                    padded, self.tables[t].index.miss_slot, np.int32
+                )
+                slots_padded[:n] = slots
+                slots_list.append(jnp.asarray(slots_padded))
+                counts.append(n)
+                miss_info.append((keys, miss_mask))
+            values_snap = [t.values for t in self.tables]
+            scales_snap = [t.scales for t in self.tables]
 
-        outs = _gather_all(
-            [t.values for t in self.tables],
-            [t.scales for t in self.tables],
-            slots_list,
-        )
+        outs = _gather_all(values_snap, scales_snap, slots_list)
 
         # Miss merge: fetch rows the HBM tier doesn't hold from DRAM/SSD.
         if self.tier_query is not None:
@@ -319,8 +326,13 @@ class DynamicEmbeddingCache(EmbeddingCache):
             if not found.any():
                 continue
             with self._lock:
-                self._write_rows(t, slots[idx][found], vecs[found])
-            refreshed += int(found.sum())
+                # Inserts may have reassigned slots while the tier query ran;
+                # only write rows whose key still owns the same slot.
+                cur = self.slotmaps[t].translate(keys[idx], touch=False)
+                ok = found & (cur == slots[idx])
+                if ok.any():
+                    self._write_rows(t, slots[idx][ok], vecs[ok])
+                    refreshed += int(ok.sum())
         return refreshed
 
     def shutdown(self):
