@@ -1,0 +1,103 @@
+"""Sharded fused serving: multi-chip lookup + dense forward in ONE program.
+
+BASELINE config 3: "DCN-v2 with multi-table embeddings sharded across 2 hosts
+(all-to-all lookup over ICI)" — generalized to any of the model zoo. The
+whole step is a single jitted program over the mesh:
+
+- tables row-sharded over the ``table`` axis (ShardedTable);
+- the batch sharded over the ``data`` axis;
+- each chip gathers its local rows for the full slot vector; the psum that
+  combines shard partials rides ICI, and XLA's latency-hiding scheduler
+  overlaps it with the dense bottom-MLP compute that does not depend on the
+  embeddings (the "collective overlapped with dense forward" requirement —
+  the program structure makes the overlap legal; XLA schedules it).
+
+The reference achieves multi-node capacity with Redis-cluster RPC per lookup
+(reference docs/architecture.md:131-137) and cannot overlap it with dense
+compute, which lives in a different ensemble step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hugectr_backend_tpu.parallel.sharded_table import (
+    ShardedTable,
+    _lookup_shardmap,
+)
+
+
+class ShardedFusedServer:
+    """Fused sharded serving for models consuming per-table [B, K_t, D_t].
+
+    ``assemble_fn(dense, embs) -> logits`` receives replicated embeddings;
+    the dense forward runs data-parallel over the ``data`` axis.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        tables: Sequence[ShardedTable],
+        keys_per_sample: Sequence[int],
+        assemble_fn: Callable,
+    ):
+        self.mesh = mesh
+        self.tables = list(tables)
+        self.keys_per_sample = list(keys_per_sample)
+        lookups = [
+            _lookup_shardmap(mesh, t.scales is not None, t.rows_padded)
+            for t in self.tables
+        ]
+
+        @functools.partial(jax.jit, static_argnames=("batch",))
+        def fwd(values_list, scales_list, slots_list, dense, batch: int):
+            embs = []
+            for lk, v, s, sl, k in zip(
+                lookups, values_list, scales_list, slots_list, self.keys_per_sample
+            ):
+                flat = lk(v, s, sl) if s is not None else lk(v, sl)
+                embs.append(flat.reshape(batch, k, flat.shape[-1]))
+            dense = jax.lax.with_sharding_constraint(
+                dense, NamedSharding(mesh, P("data", None))
+            )
+            return assemble_fn(dense, embs)
+
+        self._fwd = fwd
+
+    def predict(self, keys_per_table, dense: np.ndarray) -> jax.Array:
+        dense = np.asarray(dense, dtype=np.float32)
+        b = dense.shape[0]
+        slots_list = []
+        for t, keys in enumerate(keys_per_table):
+            keys = np.asarray(keys, np.int64).reshape(b * self.keys_per_sample[t])
+            slots_list.append(jnp.asarray(self.tables[t].slots_for(keys)))
+        return self._fwd(
+            [t.values for t in self.tables],
+            [t.scales for t in self.tables],
+            slots_list,
+            jnp.asarray(dense),
+            batch=b,
+        )
+
+
+def make_sharded_dcn_server(mesh, tables, keys_per_sample, model, model_params):
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)
+        return model.apply(model_params, dense, emb)
+
+    return ShardedFusedServer(mesh, tables, keys_per_sample, assemble)
+
+
+def make_sharded_dlrm_server(mesh, tables, keys_per_sample, model, model_params):
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)
+        return model.apply(model_params, dense, emb)
+
+    return ShardedFusedServer(mesh, tables, keys_per_sample, assemble)

@@ -83,6 +83,41 @@ class _Handler(BaseHTTPRequestHandler):
                 if self.manager.is_loaded(name):
                     return self._json(200, {})
                 return self._error(400, f"model {name!r} not ready")
+            if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "stats":
+                # Per-model statistics (the reference reports these through
+                # TRITONBACKEND_ModelInstanceReportStatistics -> Triton's
+                # /v2/models/<m>/stats, hps.cc:740-761).
+                name = parts[2]
+                if not self.manager.is_loaded(name):
+                    return self._error(404, f"model {name!r} not found")
+                return self._json(
+                    200,
+                    {
+                        "model_stats": [
+                            {
+                                "name": name,
+                                "inference_count": metrics.REQUEST_COUNT._values.get(
+                                    (("model", name),), 0
+                                ),
+                                "failure_count": metrics.REQUEST_FAIL._values.get(
+                                    (("model", name),), 0
+                                ),
+                                "samples": metrics.SAMPLES_COUNT._values.get(
+                                    (("model", name),), 0
+                                ),
+                                "latency_p50_s": metrics.REQUEST_LATENCY.percentile(
+                                    0.5, model=name
+                                ),
+                                "latency_p99_s": metrics.REQUEST_LATENCY.percentile(
+                                    0.99, model=name
+                                ),
+                                "queue_p50_s": metrics.QUEUE_LATENCY.percentile(
+                                    0.5, model=name
+                                ),
+                            }
+                        ]
+                    },
+                )
             if len(parts) == 3 and parts[:2] == ["v2", "models"]:
                 name = parts[2]
                 if not self.manager.is_loaded(name):
