@@ -190,6 +190,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _infer(self, model_name: str):
         body = self._read_body()
+        # KServe binary-tensor extension (what tritonclient/perf_analyzer use
+        # in practice): JSON header of Inference-Header-Content-Length bytes,
+        # followed by raw tensor bytes in input order.
+        header_len = self.headers.get("Inference-Header-Content-Length")
+        raw_tail = b""
+        if header_len is not None:
+            try:
+                h = int(header_len)
+            except ValueError:
+                return self._error(400, "bad Inference-Header-Content-Length")
+            body, raw_tail = body[:h], body[h:]
         try:
             req = json.loads(body)
         except json.JSONDecodeError as e:
@@ -201,28 +212,65 @@ class _Handler(BaseHTTPRequestHandler):
                 "inputs KEYS (INT64) and NUMKEYS (INT32) are required "
                 "(reference model_state.cpp:180-261)",
             )
+
+        def tensor_data(order, name, dtype):
+            t = tensors[name]
+            bsize = t.get("parameters", {}).get("binary_data_size")
+            if bsize is None:
+                return np.asarray(t.get("data", []), dtype=dtype)
+            # Binary payloads appear in the declared input order.
+            offset = 0
+            for other in req.get("inputs", []):
+                if other is t:
+                    break
+                offset += other.get("parameters", {}).get("binary_data_size", 0)
+            buf = raw_tail[offset : offset + bsize]
+            # Wire layout follows the tensor's DECLARED datatype.
+            wire = {
+                "INT64": "<i8", "INT32": "<i4", "INT16": "<i2", "INT8": "<i1",
+                "UINT32": "<u4", "FP32": "<f4", "FP64": "<f8",
+            }.get(t.get("datatype", ""), None)
+            if wire is None:
+                raise ValueError(f"unsupported binary datatype {t.get('datatype')}")
+            return np.frombuffer(buf, dtype=wire).astype(dtype)
+
         try:
-            keys = np.asarray(tensors["KEYS"].get("data", []), dtype=np.int64)
-            numkeys = np.asarray(tensors["NUMKEYS"].get("data", []), dtype=np.int64)
-        except (TypeError, ValueError) as e:
+            keys = tensor_data(0, "KEYS", np.int64)
+            numkeys = tensor_data(1, "NUMKEYS", np.int64)
+        except (TypeError, ValueError, KeyError) as e:
             return self._error(400, f"bad tensor data: {e}")
         try:
             resp = self.manager.infer(model_name, keys, numkeys)
         except RequestError as e:
             return self._error(400, str(e))
-        out = {
+
+        want_binary = any(
+            o.get("parameters", {}).get("binary_data")
+            for o in req.get("outputs", [])
+        )
+        out_t = {
+            "name": "OUTPUT0",
+            "datatype": "FP32",
+            "shape": [int(resp.output.shape[0])],
+        }
+        header = {
             "model_name": model_name,
             "parameters": {"NumSample": resp.num_samples, "DeviceID": resp.device_id},
-            "outputs": [
-                {
-                    "name": "OUTPUT0",
-                    "datatype": "FP32",
-                    "shape": [int(resp.output.shape[0])],
-                    "data": [float(x) for x in resp.output],
-                }
-            ],
+            "outputs": [out_t],
         }
-        return self._json(200, out)
+        if want_binary:
+            raw = np.ascontiguousarray(resp.output, dtype="<f4").tobytes()
+            out_t["parameters"] = {"binary_data_size": len(raw)}
+            hdr = json.dumps(header).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Inference-Header-Content-Length", str(len(hdr)))
+            self.send_header("Content-Length", str(len(hdr) + len(raw)))
+            self.end_headers()
+            self.wfile.write(hdr + raw)
+            return None
+        out_t["data"] = resp.output.tolist()
+        return self._json(200, header)
 
 
 class HpsHttpServer:

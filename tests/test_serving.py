@@ -204,3 +204,53 @@ def test_version_bump_schedules_refresh(served):
     np.testing.assert_allclose(out, np.full((1, 16), 3.25))
     # restore original table for any later tests
     write_sparse_model(root / "t0", tbl.keys, tbl.vectors)
+
+
+def test_binary_tensor_extension(served):
+    """KServe binary-tensor wire format (the tritonclient/perf_analyzer
+    fast path): raw int64/int32 payloads in, raw fp32 out, bit-identical to
+    the JSON path."""
+    server, tbl, _root = served
+    q = tbl.keys[:52]
+    # JSON reference
+    jreq = {"inputs": [
+        {"name": "KEYS", "datatype": "INT64", "shape": [52],
+         "data": [int(k) for k in q]},
+        {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [52]}]}
+    _, jresp = _post(server, "/v2/models/dlrm/infer", jreq)
+    out_json = np.asarray(jresp["outputs"][0]["data"], np.float32)
+    # Binary request
+    kraw = np.ascontiguousarray(q, "<i8").tobytes()
+    nraw = np.asarray([52], "<i4").tobytes()
+    hdr = json.dumps({"inputs": [
+        {"name": "KEYS", "datatype": "INT64", "shape": [52],
+         "parameters": {"binary_data_size": len(kraw)}},
+        {"name": "NUMKEYS", "datatype": "INT32", "shape": [1],
+         "parameters": {"binary_data_size": len(nraw)}}],
+        "outputs": [{"name": "OUTPUT0", "parameters": {"binary_data": True}}],
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer",
+        hdr + kraw + nraw,
+        headers={"Inference-Header-Content-Length": str(len(hdr))},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        hlen = int(r.headers["Inference-Header-Content-Length"])
+        body = r.read()
+        header = json.loads(body[:hlen])
+        out_bin = np.frombuffer(body[hlen:], "<f4")
+    assert header["outputs"][0]["parameters"]["binary_data_size"] == out_bin.nbytes
+    np.testing.assert_array_equal(out_json, out_bin)
+    # Truncated binary payload -> clean 400
+    bad = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer",
+        hdr + kraw[:-3] ,
+        headers={"Inference-Header-Content-Length": str(len(hdr))},
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(bad)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
