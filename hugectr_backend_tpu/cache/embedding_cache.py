@@ -136,7 +136,7 @@ class EmbeddingCache:
         the result -> default value if absent everywhere -> insert policy.
         """
         n_tables = len(self.tables)
-        slots_list, counts, miss_info = [], [], []
+        local_slots, counts, miss_info = [], [], []
         # Translation and the values snapshot happen under ONE lock hold:
         # table arrays are functional (inserts REPLACE them), so a snapshot
         # consistent with the translated slots stays valid even if an insert
@@ -149,22 +149,59 @@ class EmbeddingCache:
                 miss_mask = slots == self.tables[t].index.miss_slot
                 n_hit = int(n - miss_mask.sum())
                 self.hit_meter.update(t, n_hit, n)
-                padded = _bucket(max(n, 1))
-                slots_padded = np.full(
-                    padded, self.tables[t].index.miss_slot, np.int32
-                )
-                slots_padded[:n] = slots
-                slots_list.append(jnp.asarray(slots_padded))
+                local_slots.append(slots)
                 counts.append(n)
                 miss_info.append((keys, miss_mask))
-            values_snap = [t.values for t in self.tables]
-            scales_snap = [t.scales for t in self.tables]
+            # Group member tables by physical arena: one gather per arena
+            # (per-gather-op overhead is ~50-75 us on v5e; 26 tables in one
+            # arena pay it once instead of 26 times).
+            groups: dict = {}
+            for t, table in enumerate(self.tables):
+                arena = getattr(table, "arena", None)
+                gkey = id(arena) if arena is not None else ("solo", t)
+                groups.setdefault(gkey, []).append(t)
+            group_vals, group_scales, group_slots, group_members = [], [], [], []
+            for gkey, members in groups.items():
+                t0 = members[0]
+                table0 = self.tables[t0]
+                arena = getattr(table0, "arena", None)
+                if arena is not None:
+                    vals, scs = arena.values, arena.scales
+                    adj = np.concatenate(
+                        [
+                            local_slots[t].astype(np.int64)
+                            + self.tables[t].offset
+                            for t in members
+                        ]
+                    )
+                    pad_slot = table0.offset + table0.index.miss_slot
+                else:
+                    vals, scs = table0.values, table0.scales
+                    adj = local_slots[t0].astype(np.int64)
+                    pad_slot = table0.index.miss_slot
+                total = adj.shape[0]
+                padded = _bucket(max(total, 1))
+                arr = np.full(padded, pad_slot, np.int64)
+                arr[:total] = adj
+                group_vals.append(vals)
+                group_scales.append(scs)
+                group_slots.append(jnp.asarray(arr.astype(np.int32)))
+                group_members.append(members)
 
-        outs = _gather_all(values_snap, scales_snap, slots_list)
+        gouts = list(_gather_all(group_vals, group_scales, group_slots))
+
+        # Table t's rows live at [starts[t], starts[t]+counts[t]) of its group.
+        table_group = {}
+        for g, members in enumerate(group_members):
+            start = 0
+            for t in members:
+                table_group[t] = (g, start)
+                start += counts[t]
 
         # Miss merge: fetch rows the HBM tier doesn't hold from DRAM/SSD.
+        # Scatters target the (bucket-padded) GROUP arrays so jit shapes stay
+        # bounded by the bucket grid.
         if self.tier_query is not None:
-            outs = list(outs)
             for t, (keys, miss_mask) in enumerate(miss_info):
                 miss_pos = np.flatnonzero(miss_mask)
                 if miss_pos.size == 0:
@@ -172,16 +209,24 @@ class EmbeddingCache:
                 vecs, found = self.tier_query(t, keys[miss_pos])
                 fnd_pos = miss_pos[found]
                 if fnd_pos.size:
+                    g, start = table_group[t]
                     pb = _bucket(int(fnd_pos.size))
-                    pos_padded = np.full(pb, outs[t].shape[0], np.int32)  # OOB pad
-                    pos_padded[: fnd_pos.size] = fnd_pos
+                    oob = gouts[g].shape[0]
+                    pos_padded = np.full(pb, oob, np.int32)
+                    pos_padded[: fnd_pos.size] = start + fnd_pos
                     rows_padded = np.zeros((pb, self.tables[t].dim), np.float32)
                     rows_padded[: fnd_pos.size] = vecs[found]
-                    outs[t] = _scatter_rows(
-                        outs[t], jnp.asarray(pos_padded), jnp.asarray(rows_padded)
+                    gouts[g] = _scatter_rows(
+                        gouts[g], jnp.asarray(pos_padded), jnp.asarray(rows_padded)
                     )
                     self._on_miss_fetched(t, keys[miss_pos][found], vecs[found])
-        return [o[: counts[t]] for t, o in enumerate(outs)]
+
+        return [
+            gouts[table_group[t][0]][
+                table_group[t][1] : table_group[t][1] + counts[t]
+            ]
+            for t in range(n_tables)
+        ]
 
     # -- insert policy (extended by the dynamic cache, milestone: hot cache) --
 
@@ -228,14 +273,19 @@ class EmbeddingCache:
         from hugectr_backend_tpu.tiers.hbm import scatter_rows, scatter_scales
 
         table = self.tables[table_idx]
-        slots = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        arena = getattr(table, "arena", None)
+        slots = np.asarray(slots, dtype=np.int64)
+        if arena is not None:
+            slots = slots + table.offset
+        slots = jnp.asarray(slots.astype(np.int32))
+        holder = arena if arena is not None else table
         if table.quant in ("int8", "fp8"):
             quantize = quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
             q, s = quantize(vectors)
-            table.values = scatter_rows(table.values, slots, jnp.asarray(q))
-            table.scales = scatter_scales(table.scales, slots, jnp.asarray(s))
+            holder.values = scatter_rows(holder.values, slots, jnp.asarray(q))
+            holder.scales = scatter_scales(holder.scales, slots, jnp.asarray(s))
         else:
-            table.values = scatter_rows(table.values, slots, jnp.asarray(vectors))
+            holder.values = scatter_rows(holder.values, slots, jnp.asarray(vectors))
 
     def nbytes(self) -> int:
         return sum(t.nbytes() for t in self.tables)

@@ -3,34 +3,35 @@
 Replaces the reference's CUDA embedding-cache gather kernels (the engine-side
 ``lookup`` hot path behind reference model_instance_state.cpp:194).
 
-MEASURED COST STRUCTURE (TPU v5e, serialized inside one XLA program via
-lax.scan, 26,624 random slots per batch, D=128 int8 unless noted):
+MEASURED COST MODEL (TPU v5e, lax.scan-serialized inside one program, timing
+forced by fetching the result value — see the tunnel pitfalls below; 26,624
+uniform random slots per batch, D=128 int8 rows + per-row scale dequant):
 
-    XLA take, table <= ~2 MB        ~124 us/batch   (~4.6 ns/row, "VMEM" path)
-    XLA take, table >= ~4 MB        ~322 us/batch   (~12 ns/row, flat in table
-                                                     size 4MB..128MB AND in row
-                                                     width D=32..128)
-    Pallas grouped-DMA kernel       ~659 us/batch   (scalar-core DMA issue
-                                                     bound: ~25 ns per key)
+    table <= ~2 MB  (16k rows)     ~397 us/batch   (~67M rows/s)
+    table ~17 MB   (131k rows)     ~551 us/batch   (~48M rows/s)
+    table ~128 MB  (1M rows)       ~740 us/batch   (~36M rows/s)
+    table ~1.3 GB  (10M rows)      ~755 us/batch   (~35M rows/s)
+    blocked [K,1M,D] (10M rows)    ~813 us/batch   (~33M rows/s)
+    Pallas per-key grouped DMA     slower (~25 ns/key scalar-issue bound)
 
-Conclusions encoded here:
-1. TPU v5e random gather is PER-ACCESS latency/issue bound (no SparseCore);
-   bytes per row are nearly free below ~512 B. Quantization therefore buys
-   CAPACITY (2-4x more rows in HBM/VMEM) more than lookup speed.
-2. XLA's native gather already beats a hand-written per-key DMA kernel (one
-   DMA descriptor per key costs ~25 ns of scalar core alone), so the
-   PRODUCTION DEFAULT IS THE XLA PATH. The grouped Pallas kernel is kept as
-   an experimental alternative (bit-exact, tests/test_pallas_gather.py).
-3. Small tables (<= ~2 MB) gather ~2.6x faster — exploited by the cache
-   layer: real multi-table recsys models (e.g. Criteo's 26 tables) keep most
-   tables entirely in the fast region; only the few huge tables pay 12 ns.
-4. Host-side numpy dedup (unique+inverse) costs ~4.6 ms for 26k keys — worse
-   than the gather it would save; dedup belongs in the native C++ key
-   translation pass (tiers/native) where it is ~free.
+Conclusions encoded in this package:
+1. TPU v5e random gather is PER-ACCESS bound (no SparseCore): ~15-30 ns/row,
+   degrading mildly with table size (locality), flat in row width <=512 B.
+   Quantization buys CAPACITY (2-4x rows/byte) more than lookup speed.
+2. XLA's native gather beats hand-written per-key DMA kernels (one DMA
+   descriptor per key costs ~25 ns of scalar core alone). PRODUCTION DEFAULT
+   IS THE XLA PATH; the grouped Pallas kernel is kept as an experimental
+   alternative (bit-exact, tests/test_pallas_gather.py).
+3. Tables must be passed to jit AS ARGUMENTS, never closed over: closures
+   embed them as constants in the remote-compile request (a 1.3 GB upload
+   that presents as a multi-hour "compile hang" on tunneled TPU setups).
+4. Host-side numpy dedup (np.unique) of 26k keys costs ~4.6 ms — more than
+   the gather it saves; dedup belongs in the native C++ key translation.
 5. For very large merged batches (>= ~1M keys) a streaming select
-   (sort + full-table scan at 819 GB/s = 156 us flat + MXU row-select) beats
+   (sort + full-table scan at HBM bandwidth + MXU row-select) can beat
    per-access gathers; planned follow-up.
 """
+
 from __future__ import annotations
 
 import functools

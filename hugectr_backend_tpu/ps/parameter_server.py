@@ -40,6 +40,14 @@ from hugectr_backend_tpu.tiers.base import KVTier, table_tag
 from hugectr_backend_tpu.tiers.dram import make_dram_tier
 from hugectr_backend_tpu.tiers.hbm import DeviceTable
 
+
+def arena_member_max_rows() -> int:
+    """Tables with at most this many resident rows join a shared per-dim
+    arena; larger tables get solo device arrays (see _build_cache note)."""
+    import os
+
+    return int(os.environ.get("HPS_TPU_ARENA_MEMBER_MAX_ROWS", 1 << 21))
+
 log = logging.getLogger("hps_tpu.ps")
 
 
@@ -167,8 +175,10 @@ class HierParameterServer:
         return {8: "int8", 16: "bf16", 32: "fp32"}.get(params.quant_bits, "int8")
 
     def _build_cache(self, params: InferenceParams, device) -> EmbeddingCache:
+        from hugectr_backend_tpu.tiers.hbm import build_arena_views
+
         quant = self._quant_mode(params)
-        tables = []
+        host_tables, defaults, dims = [], [], []
         for t in range(params.num_tables):
             tag = table_tag(params.model_name, params.table_name(t))
             all_keys = self._tier_keys(tag)
@@ -184,14 +194,33 @@ class HierParameterServer:
                 vecs = vecs[found]
             else:
                 vecs = np.zeros((0, params.embedding_vecsize_per_table[t]), np.float32)
-            table = DeviceTable.from_numpy(
-                resident_keys,
-                vecs,
+            host_tables.append((resident_keys, vecs))
+            defaults.append(params.default_value_for_table(t))
+            dims.append(params.embedding_vecsize_per_table[t])
+
+        # Grouping policy (v5e measurements, ops/dequant_gather.py): each
+        # gather op costs ~50-75 us fixed, and per-access cost grows with the
+        # gathered array's size class. So SMALL same-dim tables share one
+        # arena (one gather amortizes the op overhead; the arena stays in a
+        # fast size class), while HUGE tables stay solo (merging them into
+        # one giant arena drags every member to the worst rate class).
+        tables: list = [None] * params.num_tables
+        groups: dict = {}
+        for t, d in enumerate(dims):
+            n_res = host_tables[t][0].shape[0]
+            if n_res <= arena_member_max_rows():
+                groups.setdefault(("arena", d), []).append(t)
+            else:
+                groups.setdefault(("solo", t), []).append(t)
+        for gkey, members in groups.items():
+            views = build_arena_views(
+                [host_tables[t] for t in members],
                 quant=quant,
-                default_value=params.default_value_for_table(t),
+                default_values=[defaults[t] for t in members],
                 device=device,
             )
-            tables.append(table)
+            for t, v in zip(members, views):
+                tables[t] = v
         tier_query = lambda ti, keys, m=params.model_name, p=params: self._query_tiers(
             table_tag(m, p.table_name(ti)), keys
         )

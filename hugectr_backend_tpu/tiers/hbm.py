@@ -16,7 +16,7 @@ so the gather needs no masking.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -124,47 +124,9 @@ class DeviceTable:
     ) -> "DeviceTable":
         vectors = np.asarray(vectors, dtype=np.float32)
         index, order = KeyIndex.build(keys)
-        vectors = vectors[order]
-        dim = int(vectors.shape[1])
-
-        if quant == "int8":
-            q, s = quantize_rows_int8(vectors)
-            dq, ds = _default_row_quant(dim, default_value, INT8_QMAX)
-            vals = np.concatenate([q, np.clip(dq, -127, 127)[None].astype(np.int8)])
-            scales = np.concatenate([s, ds[None]])
-        elif quant == "fp8":
-            import ml_dtypes
-
-            q, s = quantize_rows_fp8(vectors)
-            dq, ds = _default_row_quant(dim, default_value, FP8_E4M3_MAX)
-            vals = np.concatenate([q, dq[None].astype(ml_dtypes.float8_e4m3fn)])
-            scales = np.concatenate([s, ds[None]])
-        elif quant in ("fp32", "bf16"):
-            dtype = np.float32 if quant == "fp32" else jnp.bfloat16
-            drow = np.full((1, dim), default_value, dtype=np.float32)
-            vals = np.concatenate([vectors, drow]).astype(dtype)
-            scales = None
-        else:
-            raise ValueError(f"unknown quant mode {quant!r}")
-
-        # Huge tables are stored blocked as [K, SUB, D]: a single XLA gather
-        # over a many-million-row operand triggers pathological compile times
-        # on the TPU AOT compiler (observed: 1M rows compiles in seconds,
-        # 10M rows does not finish in >10 min). Blocking keeps every gather
-        # operand at <= SUB rows; the lookup decomposes slot -> (block, row)
-        # and gathers with 2-coordinate indices. Padding rows replicate the
-        # default row, so out-of-range slots stay miss-safe.
-        sub = max_rows_per_block()
-        if vals.shape[0] > sub:
-            k = -(-vals.shape[0] // sub)
-            pad = k * sub - vals.shape[0]
-            if pad:
-                vals = np.concatenate([vals, np.repeat(vals[-1:], pad, axis=0)])
-                if scales is not None:
-                    scales = np.concatenate([scales, np.repeat(scales[-1:], pad)])
-            vals = vals.reshape(k, sub, dim)
-            if scales is not None:
-                scales = scales.reshape(k, sub)
+        vals, scales = quantize_host_rows(vectors[order], quant, default_value)
+        dim = int(vals.shape[1])
+        vals, scales = _maybe_block(vals, scales, dim)
 
         put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
         return cls(
@@ -186,6 +148,161 @@ class DeviceTable:
         if self.scales is not None:
             n += self.scales.size * self.scales.dtype.itemsize
         return int(n)
+
+
+def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant, default_value: float):
+    """Quantize sorted rows + append the default (miss) row.
+    -> (vals [n+1, dim], scales [n+1] or None), host numpy arrays."""
+    dim = int(vectors_sorted.shape[1])
+    if quant == "int8":
+        q, s = quantize_rows_int8(vectors_sorted)
+        dq, ds = _default_row_quant(dim, default_value, INT8_QMAX)
+        vals = np.concatenate([q, np.clip(dq, -127, 127)[None].astype(np.int8)])
+        scales = np.concatenate([s, ds[None]])
+    elif quant == "fp8":
+        import ml_dtypes
+
+        q, s = quantize_rows_fp8(vectors_sorted)
+        dq, ds = _default_row_quant(dim, default_value, FP8_E4M3_MAX)
+        vals = np.concatenate([q, dq[None].astype(ml_dtypes.float8_e4m3fn)])
+        scales = np.concatenate([s, ds[None]])
+    elif quant in ("fp32", "bf16"):
+        dtype = np.float32 if quant == "fp32" else jnp.bfloat16
+        drow = np.full((1, dim), default_value, dtype=np.float32)
+        vals = np.concatenate([vectors_sorted, drow]).astype(dtype)
+        scales = None
+    else:
+        raise ValueError(f"unknown quant mode {quant!r}")
+    return vals, scales
+
+
+def _maybe_block(vals: np.ndarray, scales, dim: int):
+    """Gigantic tables are stored blocked as [K, SUB, D]. Two reasons:
+    (a) memory-layout safety for arbitrarily large arenas, and (b) on
+    tunneled-TPU setups very large flat operands historically stressed the
+    remote compile path (root cause was constant embedding — fixed by always
+    passing tables as jit arguments — but blocked stays as the safe layout
+    for >SUB tables at a measured ~7% gather cost). Padding rows replicate
+    the default row, so out-of-range slots remain miss-safe."""
+    sub = max_rows_per_block()
+    if vals.shape[0] > sub:
+        k = -(-vals.shape[0] // sub)
+        pad = k * sub - vals.shape[0]
+        if pad:
+            vals = np.concatenate([vals, np.repeat(vals[-1:], pad, axis=0)])
+            if scales is not None:
+                scales = np.concatenate([scales, np.repeat(scales[-1:], pad)])
+        vals = vals.reshape(k, sub, dim)
+        if scales is not None:
+            scales = scales.reshape(k, sub)
+    return vals, scales
+
+
+@dataclasses.dataclass
+class DeviceArena:
+    """One physical device allocation holding MANY logical tables of the same
+    dim/quant, concatenated row-wise.
+
+    Motivation (measured on v5e): each gather op inside a program carries
+    ~50-75 us of fixed overhead, so a 26-table model pays 26x that per batch.
+    Concatenating same-dim tables turns the whole multi-table lookup into ONE
+    gather over arena-global slots (= local slot + table offset). Each member
+    keeps its own default row inside the arena, so per-table miss semantics
+    are unchanged.
+    """
+
+    values: jax.Array  # [R_total, D] or blocked [K, SUB, D]
+    scales: Optional[jax.Array]
+    dim: int
+    quant: Quant
+    total_rows: int  # logical rows incl. per-table default rows
+
+
+@dataclasses.dataclass
+class ArenaView:
+    """DeviceTable-compatible view of one member table inside a DeviceArena."""
+
+    arena: DeviceArena
+    index: KeyIndex
+    offset: int
+    dim: int
+    quant: Quant
+    default_value: float
+
+    @property
+    def capacity(self) -> int:
+        return self.index.capacity
+
+    @property
+    def values(self) -> jax.Array:
+        flat = self.arena.values
+        if flat.ndim == 3:
+            flat = flat.reshape(-1, self.dim)
+        return flat[self.offset : self.offset + self.capacity + 1]
+
+    @property
+    def scales(self):
+        if self.arena.scales is None:
+            return None
+        s = self.arena.scales
+        if s.ndim == 2:
+            s = s.reshape(-1)
+        return s[self.offset : self.offset + self.capacity + 1]
+
+    def slots_for(self, keys: np.ndarray) -> np.ndarray:
+        return self.index.lookup(keys)
+
+    def nbytes(self) -> int:
+        n = (self.capacity + 1) * self.dim * self.arena.values.dtype.itemsize
+        if self.arena.scales is not None:
+            n += (self.capacity + 1) * 4
+        return int(n)
+
+
+def build_arena_views(
+    tables: "Sequence[tuple[np.ndarray, np.ndarray]]",
+    quant: Quant = "int8",
+    default_values: Optional[Sequence[float]] = None,
+    device: Optional[jax.Device] = None,
+) -> list[ArenaView]:
+    """Build one shared arena from [(keys, vectors), ...] of equal dim.
+
+    Returns per-table views; ``view.offset + local_slot`` addresses the arena.
+    """
+    if not tables:
+        return []
+    default_values = default_values or [0.0] * len(tables)
+    vals_parts, scales_parts, views_meta = [], [], []
+    offset = 0
+    dim = int(np.asarray(tables[0][1]).shape[1])
+    for (keys, vectors), dv in zip(tables, default_values):
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.shape[1] != dim:
+            raise ValueError("arena members must share the embedding dim")
+        index, order = KeyIndex.build(keys)
+        v, s = quantize_host_rows(vectors[order], quant, dv)
+        vals_parts.append(v)
+        if s is not None:
+            scales_parts.append(s)
+        views_meta.append((index, offset, dv))
+        offset += v.shape[0]
+    vals = np.concatenate(vals_parts)
+    scales = np.concatenate(scales_parts) if scales_parts else None
+    total_rows = int(vals.shape[0])
+    vals, scales = _maybe_block(vals, scales, dim)
+    put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
+    arena = DeviceArena(
+        values=put(vals),
+        scales=put(scales) if scales is not None else None,
+        dim=dim,
+        quant=quant,
+        total_rows=total_rows,
+    )
+    return [
+        ArenaView(arena=arena, index=index, offset=off, dim=dim, quant=quant,
+                  default_value=dv)
+        for index, off, dv in views_meta
+    ]
 
 
 def max_rows_per_block() -> int:

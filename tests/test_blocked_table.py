@@ -94,7 +94,8 @@ def test_blocked_cache_refresh_writes(small_blocks, tmp_path):
         }
     )
     cache = ps.get_embedding_cache("b", 0)
-    assert cache.tables[0].values.ndim == 3  # blocked under the tiny cap
+    # The shared arena is blocked under the tiny cap (views expose flat rows).
+    assert cache.tables[0].arena.values.ndim == 3
     new_vec = np.full((1, 4), 2.25, np.float32)
     ps.apply_updates("b", 0, tbl.keys[:1], new_vec)
     cache.refresh(fraction=1.0)
