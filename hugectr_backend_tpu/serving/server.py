@@ -299,11 +299,25 @@ class HpsHttpServer:
         self.manager.shutdown()
 
 
-def serve(ps_source, host="127.0.0.1", port=8000, block=True):
+def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
+          model_repository=None):
     """Entry point: ``python -m hugectr_backend_tpu.serving.server ps.json``
     (the reference's ``tritonserver --backend-config=hps,ps=...`` equivalent,
-    README.md:105-108)."""
-    manager = ModelManager.create(ps_source)
+    README.md:105-108). Passing ``model_repository`` consumes a Triton-style
+    model repository (``tritonserver --model-repository=...``): config.pbtxt
+    per model + numeric version dirs, with ps.json at the repo root unless
+    ``ps_source`` is given (io/model_repo.py)."""
+    if model_repository is not None:
+        from hugectr_backend_tpu.io.model_repo import load_model_repository
+
+        ps_cfg, versions = load_model_repository(model_repository, ps_source)
+        manager = ModelManager.create(ps_cfg, load_all=False)
+        for name, version in versions.items():
+            manager.load(name, version=version)
+    else:
+        if ps_source is None:
+            raise ValueError("either ps_source or model_repository is required")
+        manager = ModelManager.create(ps_source)
     server = HpsHttpServer(manager, host, port).start()
     if block:
         try:
@@ -317,8 +331,14 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("ps_json", help="path to ps.json")
+    ap.add_argument("ps_json", nargs="?", help="path to ps.json")
+    ap.add_argument(
+        "--model-repository",
+        help="Triton-style model repository dir (config.pbtxt + version dirs); "
+        "ps.json defaults to <repo>/ps.json",
+    )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args()
-    serve(args.ps_json, args.host, args.port)
+    serve(args.ps_json, args.host, args.port,
+          model_repository=args.model_repository)
