@@ -1,0 +1,220 @@
+"""Dense-model format: the TPU-native dense half of an ensemble.
+
+The reference serves the dense part of a recsys model through a *separate*
+Triton backend — TensorFlow SavedModel, TorchScript, or a TensorRT plan —
+composed with the HPS sparse backend via an ensemble DAG (reference
+hps_backend/samples/hps-triton-ensemble/README.md:1-24;
+02_model_inference_hps_tf_ensemble.ipynb defines a
+``platform: "tensorflow_savedmodel"`` dense model consuming the HPS lookup
+vectors). On TPU the dense half runs as a JAX program so it can fuse with the
+embedding gather into one XLA executable (serving/ensemble.py).
+
+On-disk format (inside the Triton model-version directory, next to where the
+reference would keep ``model.savedmodel`` / ``model.pt`` / ``model.plan``):
+
+    <model>/<version>/dense_model.json   — architecture spec
+    <model>/<version>/dense_model.npz    — weights (layers.<i>.w [in,out],
+                                           layers.<i>.b [out])
+
+Spec schema::
+
+    {"format": "hps_tpu_dense_v1",
+     "reshape": [-1, 416],            # applied to the incoming flat tensor
+     "layers": [{"units": 256, "activation": "relu"}, ...]}
+
+Foreign formats are not executed: ``tools/convert_dense_model.py`` converts a
+torch MLP (state_dict or TorchScript) into this format at deploy time —
+serving stays pure JAX/XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hugectr_backend_tpu.config.params import ConfigError
+
+SPEC_FILE = "dense_model.json"
+WEIGHTS_FILE = "dense_model.npz"
+
+#: Triton platforms the reference's ensembles use for the dense step; these
+#: require conversion to the native format (we never execute TF/torch/TRT).
+FOREIGN_DENSE_PLATFORMS = (
+    "tensorflow_savedmodel",
+    "tensorflow_graphdef",
+    "pytorch_libtorch",
+    "tensorrt_plan",
+    "onnxruntime_onnx",
+)
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "gelu": jax.nn.gelu,
+    "identity": lambda x: x,
+    "linear": lambda x: x,
+    "none": lambda x: x,
+}
+
+
+@dataclasses.dataclass
+class DenseModel:
+    """A loaded dense model: an MLP over the flattened lookup vectors.
+
+    ``apply`` is a pure function usable inside a larger jitted program (the
+    fused ensemble path); ``forward`` is the standalone jitted entry.
+    """
+
+    name: str
+    spec: dict
+    weights: list[tuple[jax.Array, jax.Array]]  # [(w [in,out], b [out]), ...]
+    # Tensor names from the model's config.pbtxt (the reference's dense demo
+    # uses input_1/output_1 — 02_model_inference_hps_tf_ensemble.ipynb).
+    input_name: str = "input_1"
+    output_name: str = "output_1"
+
+    def __post_init__(self):
+        for layer in self.spec.get("layers", []):
+            act = str(layer.get("activation", "identity")).lower()
+            if act not in _ACTIVATIONS:
+                raise ConfigError(
+                    f"dense model {self.name!r}: unknown activation {act!r} "
+                    f"(supported: {sorted(_ACTIVATIONS)})"
+                )
+        self._jit_forward = jax.jit(self.apply)
+
+    # ------------------------------------------------------------------ shape
+
+    @property
+    def reshape(self) -> Optional[list[int]]:
+        r = self.spec.get("reshape")
+        return [int(d) for d in r] if r is not None else None
+
+    @property
+    def input_dim(self) -> int:
+        return int(self.weights[0][0].shape[0])
+
+    @property
+    def output_dim(self) -> int:
+        return int(self.weights[-1][0].shape[1])
+
+    # ---------------------------------------------------------------- compute
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """Pure forward: reshape then dense layers. Safe to call inside jit."""
+        if self.reshape is not None:
+            x = x.reshape(self.reshape)
+        for (w, b), layer in zip(self.weights, self.spec["layers"]):
+            x = x @ w + b
+            x = _ACTIVATIONS[str(layer.get("activation", "identity")).lower()](x)
+        return x
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(self._jit_forward(jnp.asarray(x, dtype=jnp.float32)))
+
+    # ------------------------------------------------------------ persistence
+
+    @classmethod
+    def load(cls, version_dir, name: Optional[str] = None) -> "DenseModel":
+        vdir = Path(version_dir)
+        spec_path = vdir / SPEC_FILE
+        if not spec_path.exists():
+            foreign = [
+                p.name
+                for p in vdir.iterdir()
+                if p.name in ("model.savedmodel", "model.pt", "model.plan",
+                              "model.onnx", "model.graphdef")
+            ] if vdir.is_dir() else []
+            hint = (
+                f" (found {', '.join(foreign)}: convert it with "
+                f"`python tools/convert_dense_model.py`)" if foreign else ""
+            )
+            raise ConfigError(
+                f"dense model dir {vdir} has no {SPEC_FILE}{hint}"
+            )
+        spec = json.loads(spec_path.read_text())
+        if spec.get("format") != "hps_tpu_dense_v1":
+            raise ConfigError(
+                f"{spec_path}: unsupported format {spec.get('format')!r}"
+            )
+        with np.load(vdir / WEIGHTS_FILE) as z:
+            weights = []
+            for i in range(len(spec["layers"])):
+                w = jnp.asarray(z[f"layers.{i}.w"], dtype=jnp.float32)
+                b = jnp.asarray(z[f"layers.{i}.b"], dtype=jnp.float32)
+                if w.ndim != 2 or b.shape != (w.shape[1],):
+                    raise ConfigError(
+                        f"dense model {vdir}: layer {i} weight shapes "
+                        f"{w.shape}/{b.shape} inconsistent"
+                    )
+                weights.append((w, b))
+        return cls(name or vdir.parent.name, spec, weights)
+
+
+def save_dense_model(
+    version_dir,
+    weights: Sequence[tuple[np.ndarray, np.ndarray]],
+    activations: Sequence[str],
+    reshape: Optional[Sequence[int]] = None,
+) -> Path:
+    """Write the native dense format. ``weights[i]`` is (w [in,out], b [out])."""
+    vdir = Path(version_dir)
+    vdir.mkdir(parents=True, exist_ok=True)
+    if len(weights) != len(activations):
+        raise ValueError("need one activation per layer")
+    spec = {
+        "format": "hps_tpu_dense_v1",
+        "layers": [
+            {"units": int(w.shape[1]), "activation": act}
+            for (w, _), act in zip(weights, activations)
+        ],
+    }
+    if reshape is not None:
+        spec["reshape"] = [int(d) for d in reshape]
+    arrays = {}
+    for i, (w, b) in enumerate(weights):
+        arrays[f"layers.{i}.w"] = np.asarray(w, dtype=np.float32)
+        arrays[f"layers.{i}.b"] = np.asarray(b, dtype=np.float32)
+    (vdir / SPEC_FILE).write_text(json.dumps(spec, indent=1))
+    np.savez(vdir / WEIGHTS_FILE, **arrays)
+    return vdir
+
+
+def convert_torch_sequential(module, reshape=None):
+    """Convert a torch MLP (``nn.Sequential`` of Linear + activation modules,
+    or a TorchScript trace of one) to (weights, activations) for
+    :func:`save_dense_model`. Torch Linear stores [out,in]; we transpose to
+    [in,out] so the TPU matmul reads activations row-major."""
+    import torch  # CPU-only torch is available in this image
+
+    weights: list[tuple[np.ndarray, np.ndarray]] = []
+    activations: list[str] = []
+    act_names = {
+        "ReLU": "relu", "Sigmoid": "sigmoid", "Tanh": "tanh", "GELU": "gelu",
+    }
+    for mod in module.modules():
+        cls = type(mod).__name__
+        if cls == "Linear" or (
+            hasattr(mod, "weight") and hasattr(mod, "bias")
+            and getattr(mod, "original_name", "") == "Linear"
+        ):
+            w = mod.weight.detach().cpu().numpy().T
+            b = mod.bias.detach().cpu().numpy()
+            weights.append((w, b))
+            activations.append("identity")
+        elif cls in act_names or getattr(mod, "original_name", "") in act_names:
+            name = act_names.get(cls) or act_names[mod.original_name]
+            if not weights:
+                raise ValueError("activation before any Linear layer")
+            activations[-1] = name
+    if not weights:
+        raise ValueError("no Linear layers found in module")
+    return weights, activations

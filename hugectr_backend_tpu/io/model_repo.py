@@ -319,6 +319,35 @@ class RepoModel:
     def version_dir(self, version: Optional[int] = None) -> Path:
         return self.path / str(version if version is not None else self.latest_version)
 
+    def kind(self, ps_models=()) -> str:
+        """Classify: "hps" | "ensemble" | "dense" | "unknown".
+
+        The reference repo serves three kinds of models: the HPS backend
+        itself, dense models on other backends (TF/TorchScript/TRT), and
+        ensembles composing them (samples/hps-triton-ensemble). Dense foreign
+        platforms are recognized so the converted-native check can produce a
+        useful error (io/dense_model.py)."""
+        from hugectr_backend_tpu.io.dense_model import (
+            FOREIGN_DENSE_PLATFORMS,
+            SPEC_FILE,
+        )
+
+        platform = self.config.get("platform", "")
+        backend = self.config.get("backend", "")
+        if platform == "ensemble":
+            return "ensemble"
+        if backend == "hps" or platform == "hps":
+            return "hps"
+        if (
+            platform in FOREIGN_DENSE_PLATFORMS
+            or platform == "hps_tpu_dense"
+            or (self.version_dir() / SPEC_FILE).exists()
+        ):
+            return "dense"
+        if self.name in ps_models:
+            return "hps"
+        return "unknown"
+
 
 def scan_repository(repo_dir) -> dict[str, RepoModel]:
     repo = Path(repo_dir)
@@ -364,41 +393,95 @@ def _resolve_sparse_files(params: InferenceParams, vdir: Path) -> None:
         params.network_file = str(vdir / params.network_file)
 
 
-def load_model_repository(
-    repo_dir, ps_source=None
-) -> tuple[ParameterServerConfig, dict[str, int]]:
-    """Scan a Triton-style model repository and produce the serving config.
+@dataclasses.dataclass
+class Repository:
+    """Everything a Triton-style model repository deploys: HPS sparse models
+    (ps.json-configured), native dense models, and ensembles composing them
+    (reference samples/hps-triton-ensemble)."""
 
-    Returns ``(ps_config, versions)`` where ``versions[model]`` is the latest
-    numeric version found (feed it to ``ModelManager.load(name, version=…)``
-    to drive the online-redeploy path on bumps).
+    ps_config: ParameterServerConfig
+    hps_versions: dict[str, int]
+    dense: dict          # name -> io.dense_model.DenseModel
+    ensembles: dict      # name -> serving.ensemble.EnsembleSpec
+
+
+def load_repository(repo_dir, ps_source=None) -> Repository:
+    """Scan a Triton-style model repository and load every model kind.
+
+    ``hps_versions[model]`` is the latest numeric version found (feed it to
+    ``ModelManager.load(name, version=…)`` to drive the online-redeploy path
+    on bumps).
     """
+    from hugectr_backend_tpu.io.dense_model import DenseModel
+    from hugectr_backend_tpu.serving.ensemble import EnsembleSpec
+
     repo = Path(repo_dir)
     models = scan_repository(repo)
     if ps_source is None:
         ps_source = repo / "ps.json"
         if not ps_source.exists():
-            raise ConfigError(
-                f"{ps_source} not found — pass ps_source explicitly "
-                f"(the reference requires --backend-config=hps,ps=…, hps.cc:103-125)"
+            has_hps = any(
+                rm.config.get("backend") == "hps" for rm in models.values()
             )
-    ps_cfg = ParameterServerConfig.create(ps_source)
+            if has_hps:
+                raise ConfigError(
+                    f"{ps_source} not found — pass ps_source explicitly "
+                    f"(the reference requires --backend-config=hps,ps=…, "
+                    f"hps.cc:103-125)"
+                )
+            ps_source = None
+    ps_cfg = (
+        ParameterServerConfig.create(ps_source)
+        if ps_source is not None
+        else ParameterServerConfig(models={})
+    )
 
     versions: dict[str, int] = {}
+    dense: dict = {}
+    ensembles: dict = {}
     for name, rm in models.items():
-        params = ps_cfg.models.get(name)
-        if params is None:
-            # The reference warns and skips models absent from ps.json
-            # (hps.cc:300-305).
-            log.warning("model %s present in repository but not in ps.json; skipped",
-                        name)
-            continue
-        validate_model_config(rm.config, name)
-        _apply_instance_group(params, rm.config)
-        _apply_pbtxt_params(params, rm.config)
-        _resolve_sparse_files(params, rm.version_dir())
-        versions[name] = rm.latest_version
+        kind = rm.kind(ps_models=set(ps_cfg.models))
+        if kind == "hps":
+            params = ps_cfg.models.get(name)
+            if params is None:
+                # The reference warns and skips models absent from ps.json
+                # (hps.cc:300-305).
+                log.warning(
+                    "model %s present in repository but not in ps.json; skipped",
+                    name,
+                )
+                continue
+            validate_model_config(rm.config, name)
+            _apply_instance_group(params, rm.config)
+            _apply_pbtxt_params(params, rm.config)
+            _resolve_sparse_files(params, rm.version_dir())
+            versions[name] = rm.latest_version
+        elif kind == "dense":
+            dm = DenseModel.load(rm.version_dir(), name)
+            ins = _as_list(rm.config.get("input"))
+            outs = _as_list(rm.config.get("output"))
+            if ins and ins[0].get("name"):
+                dm.input_name = str(ins[0]["name"])
+            if outs and outs[0].get("name"):
+                dm.output_name = str(outs[0]["name"])
+            dense[name] = dm
+        elif kind == "ensemble":
+            ensembles[name] = EnsembleSpec.from_config(name, rm.config)
+        else:
+            log.warning(
+                "model %s: unrecognized platform/backend %r/%r; skipped",
+                name, rm.config.get("platform"), rm.config.get("backend"),
+            )
     extra = set(ps_cfg.models) - set(models)
     for name in sorted(extra):
         log.info("model %s configured in ps.json without a repository dir", name)
-    return ps_cfg, versions
+    return Repository(ps_cfg, versions, dense, ensembles)
+
+
+def load_model_repository(
+    repo_dir, ps_source=None
+) -> tuple[ParameterServerConfig, dict[str, int]]:
+    """HPS-only view of :func:`load_repository` (kept for the common case of
+    a repo holding only HPS models)."""
+    bundle = load_repository(repo_dir, ps_source)
+    return bundle.ps_config, bundle.hps_versions

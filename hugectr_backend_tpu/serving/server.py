@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -41,6 +42,8 @@ log = get_logger("hps_tpu.http")
 
 class _Handler(BaseHTTPRequestHandler):
     manager: ModelManager = None  # set by serve()
+    ensembles: dict = {}          # name -> serving.ensemble.EnsembleServer
+    dense_models: dict = {}       # name -> io.dense_model.DenseModel
     protocol_version = "HTTP/1.1"
 
     # -- helpers -------------------------------------------------------------
@@ -80,7 +83,17 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "ready":
                 name = parts[2]
-                if self.manager.is_loaded(name):
+                if name in self.ensembles:
+                    # Ready when every HPS step of the DAG is loaded.
+                    es = self.ensembles[name]
+                    hps_steps = [
+                        s.model_name for s in es.spec.steps
+                        if s.model_name not in es.dense
+                    ]
+                    if all(self.manager.is_loaded(m) for m in hps_steps):
+                        return self._json(200, {})
+                    return self._error(400, f"ensemble {name!r} not ready")
+                if name in self.dense_models or self.manager.is_loaded(name):
                     return self._json(200, {})
                 return self._error(400, f"model {name!r} not ready")
             if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "stats":
@@ -120,6 +133,43 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             if len(parts) == 3 and parts[:2] == ["v2", "models"]:
                 name = parts[2]
+                if name in self.ensembles:
+                    spec = self.ensembles[name].spec
+                    return self._json(
+                        200,
+                        {
+                            "name": name,
+                            "platform": "ensemble",
+                            "inputs": [
+                                {"name": t["name"], "datatype": t["datatype"],
+                                 "shape": t["dims"]}
+                                for t in spec.inputs
+                            ],
+                            "outputs": [
+                                {"name": t["name"], "datatype": t["datatype"],
+                                 "shape": t["dims"]}
+                                for t in spec.outputs
+                            ],
+                            "steps": [s.model_name for s in spec.steps],
+                        },
+                    )
+                if name in self.dense_models:
+                    dm = self.dense_models[name]
+                    return self._json(
+                        200,
+                        {
+                            "name": name,
+                            "platform": "hps_tpu_dense",
+                            "inputs": [
+                                {"name": dm.input_name, "datatype": "FP32",
+                                 "shape": [-1]}
+                            ],
+                            "outputs": [
+                                {"name": dm.output_name, "datatype": "FP32",
+                                 "shape": [-1, dm.output_dim]}
+                            ],
+                        },
+                    )
                 if not self.manager.is_loaded(name):
                     return self._error(404, f"model {name!r} not found")
                 p = self.manager.ps.get_model_params(name)
@@ -155,9 +205,31 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         try:
             if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "infer":
-                return self._infer(parts[2])
+                name = parts[2]
+                if name in self.ensembles:
+                    return self._infer_named(name, self.ensembles[name].infer)
+                if name in self.dense_models:
+                    dm = self.dense_models[name]
+                    return self._infer_named(
+                        name,
+                        lambda ins: {
+                            dm.output_name: dm.forward(
+                                np.asarray(ins[dm.input_name], np.float32)
+                            )
+                        },
+                    )
+                return self._infer(name)
             if parts == ["v2", "repository", "index"]:
-                return self._json(200, self.manager.loaded_models())
+                index = self.manager.loaded_models()
+                index += [
+                    {"name": n, "version": "1", "state": "READY"}
+                    for n in sorted(self.dense_models)
+                ]
+                index += [
+                    {"name": n, "version": "1", "state": "READY"}
+                    for n in sorted(self.ensembles)
+                ]
+                return self._json(200, index)
             if (
                 len(parts) == 5
                 and parts[:3] == ["v2", "repository", "models"]
@@ -187,6 +259,98 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # pragma: no cover
             log.exception("POST failed")
             return self._error(500, str(e))
+
+    _WIRE_DT = {
+        "INT64": "<i8", "INT32": "<i4", "INT16": "<i2", "INT8": "<i1",
+        "UINT32": "<u4", "FP32": "<f4", "FP64": "<f8", "BOOL": "|b1",
+    }
+
+    def _infer_named(self, model_name: str, infer_fn):
+        """Generic KServe-v2 infer for models with arbitrary named tensors
+        (ensembles, dense models). ``infer_fn(inputs dict) -> outputs dict``."""
+        body = self._read_body()
+        header_len = self.headers.get("Inference-Header-Content-Length")
+        raw_tail = b""
+        if header_len is not None:
+            try:
+                h = int(header_len)
+            except ValueError:
+                return self._error(400, "bad Inference-Header-Content-Length")
+            body, raw_tail = body[:h], body[h:]
+        try:
+            req = json.loads(body)
+        except json.JSONDecodeError as e:
+            return self._error(400, f"bad JSON: {e}")
+        inputs: dict[str, np.ndarray] = {}
+        offset = 0
+        try:
+            for t in req.get("inputs", []):
+                name = t.get("name")
+                dt = t.get("datatype", "FP32")
+                shape = t.get("shape")
+                bsize = t.get("parameters", {}).get("binary_data_size")
+                if bsize is not None:
+                    wire = self._WIRE_DT.get(dt)
+                    if wire is None:
+                        return self._error(400, f"unsupported datatype {dt}")
+                    arr = np.frombuffer(raw_tail[offset : offset + bsize], wire)
+                    offset += bsize
+                else:
+                    wire = self._WIRE_DT.get(dt, "<f4")
+                    arr = np.asarray(t.get("data", []), dtype=np.dtype(wire))
+                if shape:
+                    arr = arr.reshape([int(d) for d in shape])
+                inputs[name] = arr
+        except (TypeError, ValueError) as e:
+            return self._error(400, f"bad tensor data: {e}")
+
+        t0 = time.perf_counter()
+        try:
+            outputs = infer_fn(inputs)
+        except RequestError as e:
+            metrics.REQUEST_FAIL.inc(model=model_name)
+            return self._error(400, str(e))
+        metrics.REQUEST_COUNT.inc(model=model_name)
+        metrics.REQUEST_LATENCY.observe(
+            time.perf_counter() - t0, model=model_name
+        )
+
+        want_binary = any(
+            o.get("parameters", {}).get("binary_data")
+            for o in req.get("outputs", [])
+        )
+        np_dt = {"int64": "INT64", "int32": "INT32", "float32": "FP32",
+                 "float64": "FP64"}
+        out_list, raws = [], []
+        for oname, arr in outputs.items():
+            arr = np.asarray(arr)
+            dt = np_dt.get(str(arr.dtype), "FP32")
+            entry = {
+                "name": oname,
+                "datatype": dt,
+                "shape": [int(d) for d in arr.shape],
+            }
+            if want_binary:
+                raw = np.ascontiguousarray(
+                    arr.astype(np.dtype(self._WIRE_DT[dt]))
+                ).tobytes()
+                entry["parameters"] = {"binary_data_size": len(raw)}
+                raws.append(raw)
+            else:
+                entry["data"] = arr.reshape(-1).tolist()
+            out_list.append(entry)
+        header = {"model_name": model_name, "outputs": out_list}
+        if want_binary:
+            hdr = json.dumps(header).encode()
+            payload = hdr + b"".join(raws)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Inference-Header-Content-Length", str(len(hdr)))
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return None
+        return self._json(200, header)
 
     def _infer(self, model_name: str):
         body = self._read_body()
@@ -276,8 +440,17 @@ class _Handler(BaseHTTPRequestHandler):
 class HpsHttpServer:
     """Threaded HTTP server wrapper with startup/shutdown control."""
 
-    def __init__(self, manager: ModelManager, host="127.0.0.1", port: int = 8000):
-        handler = type("BoundHandler", (_Handler,), {"manager": manager})
+    def __init__(self, manager: ModelManager, host="127.0.0.1", port: int = 8000,
+                 ensembles=None, dense_models=None):
+        handler = type(
+            "BoundHandler",
+            (_Handler,),
+            {
+                "manager": manager,
+                "ensembles": dict(ensembles or {}),
+                "dense_models": dict(dense_models or {}),
+            },
+        )
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
         self.manager = manager
@@ -307,18 +480,27 @@ def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
     model repository (``tritonserver --model-repository=...``): config.pbtxt
     per model + numeric version dirs, with ps.json at the repo root unless
     ``ps_source`` is given (io/model_repo.py)."""
+    ensembles = dense_models = None
     if model_repository is not None:
-        from hugectr_backend_tpu.io.model_repo import load_model_repository
+        from hugectr_backend_tpu.io.model_repo import load_repository
+        from hugectr_backend_tpu.serving.ensemble import EnsembleServer
 
-        ps_cfg, versions = load_model_repository(model_repository, ps_source)
-        manager = ModelManager.create(ps_cfg, load_all=False)
-        for name, version in versions.items():
+        bundle = load_repository(model_repository, ps_source)
+        manager = ModelManager.create(bundle.ps_config, load_all=False)
+        for name, version in bundle.hps_versions.items():
             manager.load(name, version=version)
+        dense_models = bundle.dense
+        ensembles = {
+            name: EnsembleServer(spec, manager, bundle.dense)
+            for name, spec in bundle.ensembles.items()
+        }
     else:
         if ps_source is None:
             raise ValueError("either ps_source or model_repository is required")
         manager = ModelManager.create(ps_source)
-    server = HpsHttpServer(manager, host, port).start()
+    server = HpsHttpServer(
+        manager, host, port, ensembles=ensembles, dense_models=dense_models
+    ).start()
     if block:
         try:
             server._thread.join()
