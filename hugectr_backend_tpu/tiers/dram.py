@@ -234,7 +234,17 @@ class DramKVTier(KVTier):
 
 
 def make_dram_tier(params: Optional[VolatileDatabaseParams] = None) -> KVTier:
-    """Factory: native C++ store when built, numpy fallback otherwise."""
+    """Factory: native C++ store when built, numpy fallback otherwise.
+
+    ``type: multi_process_hash_map`` selects the /dev/shm shared-memory store
+    (reference docs/hierarchical_parameter_server.md:417-421) so concurrent
+    serving processes on one host share a single table copy."""
+    from hugectr_backend_tpu.config.params import DatabaseType
+
+    if params is not None and params.type == DatabaseType.MULTI_PROCESS_HASH_MAP:
+        from hugectr_backend_tpu.native.kvstore import SharedMemoryDramKVTier
+
+        return SharedMemoryDramKVTier(params)
     try:
         from hugectr_backend_tpu.native.kvstore import NativeDramKVTier
 
