@@ -131,6 +131,58 @@ class _Handler(BaseHTTPRequestHandler):
                         ]
                     },
                 )
+            if len(parts) == 4 and parts[:2] == ["v2", "models"] and parts[3] == "config":
+                # Triton's model-configuration endpoint (tritonclient
+                # get_model_config); reconstructs the config.pbtxt content.
+                name = parts[2]
+                if name in self.ensembles:
+                    spec = self.ensembles[name].spec
+                    return self._json(200, {
+                        "name": name, "platform": "ensemble",
+                        "input": spec.inputs, "output": spec.outputs,
+                        "ensemble_scheduling": {"step": [
+                            {"model_name": s.model_name,
+                             "model_version": s.model_version,
+                             "input_map": s.input_map,
+                             "output_map": s.output_map}
+                            for s in spec.steps
+                        ]},
+                    })
+                if name in self.dense_models:
+                    dm = self.dense_models[name]
+                    return self._json(200, {
+                        "name": name, "platform": "hps_tpu_dense",
+                        "input": [{"name": dm.input_name,
+                                   "data_type": "TYPE_FP32", "dims": [-1]}],
+                        "output": [{"name": dm.output_name,
+                                    "data_type": "TYPE_FP32",
+                                    "dims": [-1, dm.output_dim]}],
+                    })
+                if not self.manager.is_loaded(name):
+                    return self._error(404, f"model {name!r} not found")
+                p = self.manager.ps.get_model_params(name)
+                return self._json(200, {
+                    "name": name, "backend": "hps",
+                    "max_batch_size": p.max_batch_size,
+                    "input": [
+                        {"name": "KEYS", "data_type": "TYPE_INT64", "dims": [-1]},
+                        {"name": "NUMKEYS", "data_type": "TYPE_INT32", "dims": [-1]},
+                    ],
+                    "output": [
+                        {"name": "OUTPUT0", "data_type": "TYPE_FP32", "dims": [-1]}
+                    ],
+                    "instance_group": [
+                        {"count": p.num_of_worker_buffer_in_pool,
+                         "kind": "KIND_GPU", "gpus": p.deployed_devices}
+                    ],
+                    "parameters": {
+                        "refresh_interval":
+                            {"string_value": str(p.refresh_interval)},
+                        "refresh_delay": {"string_value": str(p.refresh_delay)},
+                        "freeze_sparse":
+                            {"string_value": str(p.freeze_sparse).lower()},
+                    },
+                })
             if len(parts) == 3 and parts[:2] == ["v2", "models"]:
                 name = parts[2]
                 if name in self.ensembles:

@@ -29,6 +29,9 @@ from hugectr_backend_tpu.config.params import (
     VolatileDatabaseParams,
 )
 from hugectr_backend_tpu.tiers.base import KVTier
+from hugectr_backend_tpu.utils.logging import get_logger
+
+log = get_logger("hps_tpu.dram")
 
 
 class _Partition:
@@ -245,6 +248,16 @@ def make_dram_tier(params: Optional[VolatileDatabaseParams] = None) -> KVTier:
         from hugectr_backend_tpu.native.kvstore import SharedMemoryDramKVTier
 
         return SharedMemoryDramKVTier(params)
+    if params is not None and params.type == DatabaseType.REDIS_CLUSTER:
+        # The reference reaches a Redis cluster for cross-host CAPACITY
+        # (doc:423-458). On TPU pods that role is played by tables sharded
+        # across pod HBM (parallel/sharded_table.py); the volatile tier
+        # itself stays host-local.
+        log.warning(
+            "volatile_db type redis_cluster: serving cross-host capacity via "
+            "sharded HBM tables; using the local DRAM store for this tier "
+            "(address/password/TLS settings ignored)"
+        )
     try:
         from hugectr_backend_tpu.native.kvstore import NativeDramKVTier
 

@@ -325,6 +325,18 @@ def test_ensemble_over_http(tmp_path, rng):
         )
         assert meta["platform"] == "ensemble"
         assert meta["steps"] == ["hps_embedding", "dense_model"]
+        # Triton config endpoint (tritonclient get_model_config parity).
+        cfg = json.loads(
+            urllib.request.urlopen(
+                f"{base}/v2/models/ensemble_model/config"
+            ).read()
+        )
+        assert cfg["ensemble_scheduling"]["step"][0]["model_name"] == "hps_embedding"
+        hcfg = json.loads(
+            urllib.request.urlopen(f"{base}/v2/models/hps_embedding/config").read()
+        )
+        assert hcfg["backend"] == "hps"
+        assert hcfg["input"][0]["data_type"] == "TYPE_INT64"
         urllib.request.urlopen(f"{base}/v2/models/ensemble_model/ready")
         idx = json.loads(
             urllib.request.urlopen(
