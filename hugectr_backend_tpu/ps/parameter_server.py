@@ -43,10 +43,18 @@ from hugectr_backend_tpu.tiers.hbm import DeviceTable
 
 def arena_member_max_rows() -> int:
     """Tables with at most this many resident rows join a shared per-dim
-    arena; larger tables get solo device arrays (see _build_cache note)."""
+    arena; larger tables get solo device arrays (see _build_cache note).
+
+    Tuned on v5e (2026-08): gather per-row cost scales with the gathered
+    ARRAY's size class (~9-15 ns/row under ~8 MB, ~22 ns/row at 190 MB+),
+    while independent gather ops in one program OVERLAP (2 ops ~= 1 op
+    latency; 5 ops ~= 1.8x). So the arena should stay in the fast size
+    class and everything else goes solo: 64k rows x 128d int8 keeps the
+    shared arena under ~8 MB. Measured on the Criteo-26 layout: 21-table
+    arena 2407 us/batch -> small-arena + solo 1827 us/batch (1.32x)."""
     import os
 
-    return int(os.environ.get("HPS_TPU_ARENA_MEMBER_MAX_ROWS", 1 << 21))
+    return int(os.environ.get("HPS_TPU_ARENA_MEMBER_MAX_ROWS", 1 << 16))
 
 log = logging.getLogger("hps_tpu.ps")
 
