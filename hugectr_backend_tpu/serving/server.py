@@ -525,13 +525,15 @@ class HpsHttpServer:
 
 
 def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
-          model_repository=None):
+          model_repository=None, grpc_port=None):
     """Entry point: ``python -m hugectr_backend_tpu.serving.server ps.json``
     (the reference's ``tritonserver --backend-config=hps,ps=...`` equivalent,
     README.md:105-108). Passing ``model_repository`` consumes a Triton-style
     model repository (``tritonserver --model-repository=...``): config.pbtxt
     per model + numeric version dirs, with ps.json at the repo root unless
-    ``ps_source`` is given (io/model_repo.py)."""
+    ``ps_source`` is given (io/model_repo.py). ``grpc_port`` additionally
+    serves the KServe v2 gRPC protocol (Triton's port-8001 surface) over the
+    same manager/ensembles."""
     ensembles = dense_models = None
     if model_repository is not None:
         from hugectr_backend_tpu.io.model_repo import load_repository
@@ -553,10 +555,19 @@ def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
     server = HpsHttpServer(
         manager, host, port, ensembles=ensembles, dense_models=dense_models
     ).start()
+    if grpc_port is not None:
+        from hugectr_backend_tpu.serving.grpc_server import HpsGrpcServer
+
+        server.grpc = HpsGrpcServer(
+            manager, host, grpc_port,
+            ensembles=ensembles, dense_models=dense_models,
+        ).start()
     if block:
         try:
             server._thread.join()
         except KeyboardInterrupt:
+            if getattr(server, "grpc", None):
+                server.grpc.stop()
             server.stop()
     return server
 
@@ -573,6 +584,11 @@ if __name__ == "__main__":
     )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument(
+        "--grpc-port", type=int, default=8001,
+        help="KServe v2 gRPC port (Triton default 8001); -1 disables",
+    )
     args = ap.parse_args()
     serve(args.ps_json, args.host, args.port,
-          model_repository=args.model_repository)
+          model_repository=args.model_repository,
+          grpc_port=None if args.grpc_port < 0 else args.grpc_port)
