@@ -2,11 +2,13 @@
 
 The reference CI smoke-tests with ``perf_analyzer -m dlrm --shape KEYS:26
 --shape NUMKEYS:1`` (reference .gitlab-ci.yml:70). This tool drives the HTTP
-frontend with concurrent clients and reports qps + latency percentiles.
+or gRPC frontend (``-i grpc``, like ``perf_analyzer -i grpc``) with
+concurrent clients and reports qps + latency percentiles.
 
     python tools/perf_client.py --url http://127.0.0.1:8000 --model dlrm \
         --keys-per-sample 26 --batch 8 --concurrency 4 --duration 10 \
         --key-range 100000
+    python tools/perf_client.py -i grpc --url 127.0.0.1:8001 --model dlrm
 """
 
 from __future__ import annotations
@@ -70,9 +72,52 @@ def run_client(args, stats, stop):
             stats["err"] += 1
 
 
+def run_client_grpc(args, stats, stop):
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import grpc
+
+    from hugectr_backend_tpu.serving import kserve_pb
+
+    pb2 = kserve_pb.load()
+    rng = np.random.default_rng(threading.get_ident() & 0xFFFF)
+    n_keys = args.batch * args.keys_per_sample
+    target = args.url.replace("http://", "").replace("grpc://", "")
+    channel = grpc.insecure_channel(target)
+    infer = channel.unary_unary(
+        f"/{kserve_pb.SERVICE_NAME}/ModelInfer",
+        request_serializer=lambda m: m.SerializeToString(),
+        response_deserializer=pb2.ModelInferResponse.FromString,
+    )
+    while not stop.is_set():
+        keys = rng.integers(0, args.key_range, n_keys)
+        req = pb2.ModelInferRequest(model_name=args.model)
+        ki = req.inputs.add()
+        ki.name, ki.datatype = "KEYS", "INT64"
+        ki.shape.append(n_keys)
+        ni = req.inputs.add()
+        ni.name, ni.datatype = "NUMKEYS", "INT32"
+        ni.shape.append(1)
+        req.raw_input_contents.append(
+            np.ascontiguousarray(keys, "<i8").tobytes())
+        req.raw_input_contents.append(np.asarray([n_keys], "<i4").tobytes())
+        t0 = time.perf_counter()
+        try:
+            infer(req, timeout=30)
+            stats["lat"].append(time.perf_counter() - t0)
+            stats["ok"] += 1
+        except Exception:
+            stats["err"] += 1
+    channel.close()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--url", default="http://127.0.0.1:8000")
+    ap.add_argument("-i", "--protocol", choices=["http", "grpc"],
+                    default="http")
     ap.add_argument("--model", default="dlrm")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--keys-per-sample", type=int, default=26)
@@ -85,8 +130,9 @@ def main(argv=None):
 
     stats = {"lat": [], "ok": 0, "err": 0}
     stop = threading.Event()
+    worker = run_client_grpc if args.protocol == "grpc" else run_client
     threads = [
-        threading.Thread(target=run_client, args=(args, stats, stop), daemon=True)
+        threading.Thread(target=worker, args=(args, stats, stop), daemon=True)
         for _ in range(args.concurrency)
     ]
     t0 = time.perf_counter()
