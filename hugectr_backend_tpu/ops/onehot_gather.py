@@ -132,12 +132,23 @@ def _onehot_kernel(
     r0 = rt_smem[s] * r_tile
     iota = jax.lax.broadcasted_iota(jnp.int32, (m_tile, r_tile), 1)
     mask = slots_ref[...] == (r0 + iota)  # [M, R] bool, slots broadcast
-    part = jax.lax.dot_general(
-        mask.astype(jnp.bfloat16),
-        table_ref[...].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # bf16 mask x bf16 table is EXACT for int8/bf16 arenas (int8 values are
+    # exact in bf16); fp32 arenas must stay f32 end-to-end or the advertised
+    # bit-identity with gather_dequant_xla breaks (fp32 MXU path).
+    if table_ref.dtype == jnp.float32:
+        part = jax.lax.dot_general(
+            mask.astype(jnp.float32),
+            table_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        part = jax.lax.dot_general(
+            mask.astype(jnp.bfloat16),
+            table_ref[...].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     spart = jnp.sum(
         jnp.where(mask, scales_ref[0:1, :], 0.0), axis=1, keepdims=True
     )

@@ -57,6 +57,12 @@ def _tensor_to_numpy(tensor, raw: Optional[bytes]):
     if wire is None:
         raise RequestError(f"unsupported datatype {dt!r}")
     if raw is not None:
+        itemsize = np.dtype(wire).itemsize
+        if len(raw) % itemsize:
+            raise RequestError(
+                f"tensor {tensor.name!r}: raw byte length {len(raw)} is not "
+                f"a multiple of {dt} itemsize {itemsize}"
+            )
         arr = np.frombuffer(raw, dtype=wire)
     else:
         field = _CONTENTS_FIELD.get(dt)
@@ -166,7 +172,13 @@ class KServeGrpcService:
             if which == "int64_param":
                 version = int(p.int64_param)
             elif which == "string_param":
-                version = p.string_param
+                # Coerce numeric strings so "2" == 2 for the version-change
+                # comparison in ModelManager.load (a str-vs-int mismatch
+                # would spuriously re-parse tiers and schedule refreshes).
+                try:
+                    version = int(p.string_param)
+                except ValueError:
+                    version = p.string_param
         try:
             self.manager.load(request.model_name, version=version)
         except KeyError as e:
@@ -301,6 +313,11 @@ class HpsGrpcServer:
                 kserve_pb.SERVICE_NAME, handlers),
         ))
         self.port = self.server.add_insecure_port(f"{host}:{port}")
+        if self.port == 0:
+            raise RuntimeError(
+                f"gRPC server failed to bind {host}:{port} "
+                "(port already in use?)"
+            )
         self.manager = manager
         self.service = svc
 

@@ -517,6 +517,12 @@ class HpsHttpServer:
         return self
 
     def stop(self):
+        # serve() may attach a gRPC frontend as ``self.grpc``; one stop()
+        # tears down both frontends (block=False embedders call only this).
+        grpc = getattr(self, "grpc", None)
+        if grpc is not None:
+            grpc.stop()
+            self.grpc = None
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
@@ -566,9 +572,7 @@ def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
         try:
             server._thread.join()
         except KeyboardInterrupt:
-            if getattr(server, "grpc", None):
-                server.grpc.stop()
-            server.stop()
+            server.stop()  # also stops the attached gRPC frontend
     return server
 
 
