@@ -73,14 +73,6 @@ def _bucket(n: int, minimum: int = 8) -> int:
 
 
 @jax.jit
-def _gather_all(values, scales, slots):
-    """Gather+dequant every table in one compiled program (lists as pytrees)."""
-    return [
-        gather_dequant_xla(v, s, i) for v, s, i in zip(values, scales, slots)
-    ]
-
-
-@jax.jit
 def _scatter_rows(out, positions, rows):
     """out[positions] = rows; out-of-range positions (padding) are dropped."""
     return out.at[positions].set(rows, mode="drop")
@@ -106,6 +98,34 @@ class EmbeddingCache:
         # RLock: lookup takes it around translate+snapshot, and the dynamic
         # subclass's translate() takes it again (re-entrant).
         self._lock = threading.RLock()
+        # Group member tables by physical arena; the group's lookup_kind
+        # selects the device access path (tiers/hbm.py DeviceArena). The
+        # structure is fixed at build time (inserts REPLACE arrays, they
+        # never regroup).
+        self._groups: list[tuple[object, str, list[int]]] = []
+        seen: dict = {}
+        for t, table in enumerate(self.tables):
+            arena = getattr(table, "arena", None)
+            gkey = id(arena) if arena is not None else ("solo-table", t)
+            if gkey not in seen:
+                kind = (
+                    getattr(arena, "lookup_kind", "arena")
+                    if arena is not None
+                    else "arena"
+                )
+                if (
+                    kind == "onehot"
+                    and arena is not None
+                    and arena.scales is not None
+                    and getattr(arena, "scales_host", None) is None
+                ):
+                    # One-hot needs host-side scales for quantized arenas;
+                    # demote to the plain gather path rather than dropping
+                    # the dequant silently.
+                    kind = "arena"
+                seen[gkey] = len(self._groups)
+                self._groups.append((arena, kind, []))
+            self._groups[seen[gkey]][2].append(t)
 
     # -- reference-contract surface -----------------------------------------
 
@@ -127,13 +147,91 @@ class EmbeddingCache:
         """Host-side key -> slot translation; misses -> default-row slot."""
         return self.tables[table_idx].slots_for(keys)
 
+    def prepare_lookup(self, counts: Sequence[int], local_slots):
+        """Host-side assembly of the device-program arguments (call under
+        ``self._lock`` so slots and array snapshots stay consistent).
+
+        -> (vals, dscales, slots_np, scin_np, meta, table_pos) where
+        ``meta`` is the static per-group descriptor consumed by
+        lookup_program.gather_rows_for_groups and ``table_pos[t]`` is the
+        (group, start) of table t's rows in the group output.
+        """
+        vals_l, dscales_l, slots_l, scin_l, metas = [], [], [], [], []
+        table_pos: dict[int, tuple[int, int]] = {}
+        for g, (arena, kind, members) in enumerate(self._groups):
+            t0 = members[0]
+            table0 = self.tables[t0]
+            if arena is None:
+                vals, dev_scales = table0.values, table0.scales
+                scales_host = None
+            else:
+                vals, dev_scales = arena.values, arena.scales
+                scales_host = arena.scales_host
+            if kind == "onehot":
+                # Per-member bucket padding: member boundaries are static
+                # trace parameters (the one-hot masks are built per member).
+                offs, sizes, pcounts = [], [], []
+                slot_parts, start = [], 0
+                for t in members:
+                    tb = self.tables[t]
+                    n = counts[t]
+                    pc = _bucket(max(n, 1))
+                    arr = np.full(pc, tb.offset + tb.index.miss_slot, np.int64)
+                    arr[:n] = local_slots[t].astype(np.int64) + tb.offset
+                    slot_parts.append(arr)
+                    offs.append(int(tb.offset))
+                    sizes.append(int(tb.capacity) + 1)
+                    pcounts.append(pc)
+                    table_pos[t] = (g, start)
+                    start += pc
+                arr = np.concatenate(slot_parts)
+                meta = ("onehot", tuple(offs), tuple(sizes), tuple(pcounts))
+                dscales = None
+            else:
+                if arena is not None:
+                    adj = np.concatenate(
+                        [
+                            local_slots[t].astype(np.int64)
+                            + self.tables[t].offset
+                            for t in members
+                        ]
+                    )
+                    pad_slot = table0.offset + table0.index.miss_slot
+                else:
+                    adj = local_slots[t0].astype(np.int64)
+                    pad_slot = table0.index.miss_slot
+                total = adj.shape[0]
+                padded = _bucket(max(total, 1))
+                arr = np.full(padded, pad_slot, np.int64)
+                arr[:total] = adj
+                start = 0
+                for t in members:
+                    table_pos[t] = (g, start)
+                    start += counts[t]
+                meta = ("gather",)
+                # "solo": scales ride host-side; "arena" (or a solo built
+                # without a host copy): device scales gather.
+                if kind == "solo" and scales_host is not None:
+                    dscales = None
+                else:
+                    dscales = dev_scales
+                    scales_host = None
+            scin = scales_host[arr] if scales_host is not None else None
+            vals_l.append(vals)
+            dscales_l.append(dscales)
+            slots_l.append(arr.astype(np.int32))
+            scin_l.append(scin)
+            metas.append(meta)
+        return vals_l, dscales_l, slots_l, scin_l, tuple(metas), table_pos
+
     def lookup(self, keys_per_table: Sequence[np.ndarray]) -> list[jax.Array]:
         """Full lookup with miss-merge. Returns per-table f32 [n_t, dim_t]
         device arrays (un-padded views).
 
         Steps (cf. reference hot loop docs/hierarchical_parameter_server.md:67-87):
-        cache probe -> hit: HBM gather; miss: query lower tiers -> scatter into
-        the result -> default value if absent everywhere -> insert policy.
+        cache probe -> hit: HBM gather / MXU one-hot; miss: query lower tiers
+        -> scatter into the result -> default value if absent everywhere ->
+        insert policy.
         """
         n_tables = len(self.tables)
         local_slots, counts, miss_info = [], [], []
@@ -152,51 +250,21 @@ class EmbeddingCache:
                 local_slots.append(slots)
                 counts.append(n)
                 miss_info.append((keys, miss_mask))
-            # Group member tables by physical arena: one gather per arena
-            # (per-gather-op overhead is ~50-75 us on v5e; 26 tables in one
-            # arena pay it once instead of 26 times).
-            groups: dict = {}
-            for t, table in enumerate(self.tables):
-                arena = getattr(table, "arena", None)
-                gkey = id(arena) if arena is not None else ("solo", t)
-                groups.setdefault(gkey, []).append(t)
-            group_vals, group_scales, group_slots, group_members = [], [], [], []
-            for gkey, members in groups.items():
-                t0 = members[0]
-                table0 = self.tables[t0]
-                arena = getattr(table0, "arena", None)
-                if arena is not None:
-                    vals, scs = arena.values, arena.scales
-                    adj = np.concatenate(
-                        [
-                            local_slots[t].astype(np.int64)
-                            + self.tables[t].offset
-                            for t in members
-                        ]
-                    )
-                    pad_slot = table0.offset + table0.index.miss_slot
-                else:
-                    vals, scs = table0.values, table0.scales
-                    adj = local_slots[t0].astype(np.int64)
-                    pad_slot = table0.index.miss_slot
-                total = adj.shape[0]
-                padded = _bucket(max(total, 1))
-                arr = np.full(padded, pad_slot, np.int64)
-                arr[:total] = adj
-                group_vals.append(vals)
-                group_scales.append(scs)
-                group_slots.append(jnp.asarray(arr.astype(np.int32)))
-                group_members.append(members)
+            vals_l, dscales_l, slots_l, scin_l, metas, table_group = (
+                self.prepare_lookup(counts, local_slots)
+            )
 
-        gouts = list(_gather_all(group_vals, group_scales, group_slots))
+        from hugectr_backend_tpu.cache.lookup_program import lookup_groups_jit
 
-        # Table t's rows live at [starts[t], starts[t]+counts[t]) of its group.
-        table_group = {}
-        for g, members in enumerate(group_members):
-            start = 0
-            for t in members:
-                table_group[t] = (g, start)
-                start += counts[t]
+        gouts = list(
+            lookup_groups_jit(
+                vals_l,
+                dscales_l,
+                [jnp.asarray(a) for a in slots_l],
+                [None if s is None else jnp.asarray(s) for s in scin_l],
+                metas,
+            )
+        )
 
         # Miss merge: fetch rows the HBM tier doesn't hold from DRAM/SSD.
         # Scatters target the (bucket-padded) GROUP arrays so jit shapes stay
@@ -274,16 +342,21 @@ class EmbeddingCache:
 
         table = self.tables[table_idx]
         arena = getattr(table, "arena", None)
-        slots = np.asarray(slots, dtype=np.int64)
+        slots_np = np.asarray(slots, dtype=np.int64)
         if arena is not None:
-            slots = slots + table.offset
-        slots = jnp.asarray(slots.astype(np.int32))
+            slots_np = slots_np + table.offset
+        slots = jnp.asarray(slots_np.astype(np.int32))
         holder = arena if arena is not None else table
         if table.quant in ("int8", "fp8"):
             quantize = quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
             q, s = quantize(vectors)
             holder.values = scatter_rows(holder.values, slots, jnp.asarray(q))
             holder.scales = scatter_scales(holder.scales, slots, jnp.asarray(s))
+            # Keep the host scales copy (solo/onehot translation-time fetch)
+            # in sync; called under self._lock like every writer.
+            sh = getattr(holder, "scales_host", None)
+            if sh is not None:
+                sh[slots_np] = s
         else:
             holder.values = scatter_rows(holder.values, slots, jnp.asarray(vectors))
 

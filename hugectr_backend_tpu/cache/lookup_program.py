@@ -1,0 +1,108 @@
+"""The shared device lookup program: one compiled access path for every
+serving surface (EmbeddingCache.lookup, the fused model servers, bench.py).
+
+Replaces the reference engine's CUDA embedding-cache gather kernels (the hot
+loop behind reference model_instance_state.cpp:194) with the access-path mix
+that is optimal on v5e (slope-timed, scripts/microbench_true.py +
+microbench_onehot_v2.py — see tiers/hbm.py DeviceArena docstring):
+
+- "gather": XLA row gather (+ fused device scales gather for small arenas).
+  The v5e per-access floor is ~10 ns/row regardless of table size.
+- "solo":   XLA row gather with HOST-gathered per-key scales passed as an
+  input (device-gathering scales from a >100 MB array costs another
+  ~14 ns/access — 60% of big-table lookup time).
+- "onehot": MXU one-hot matmul per member table — no per-access gather at
+  all. Cost ~2 ps per (key x member row); beats the 10 ns/access gather for
+  tables under ~4k rows (14 of the 26 Criteo-Kaggle tables). Pure XLA: the
+  measured 221 us/batch on the 16 tiny Criteo tables beats both the Pallas
+  one-hot kernels (239-324 us) and the XLA gather (667 us).
+
+All functions here are pure jax (traceable), so fused model programs embed
+them directly and the lookup compiles INTO the dense forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hugectr_backend_tpu.tiers.hbm import gather_dequant_xla
+
+
+def onehot_member_rows(
+    values: jax.Array,   # [R_total, D] flat arena
+    offset: int,         # static member offset
+    size: int,           # static member rows (capacity + 1)
+    slots: jax.Array,    # [n] int32 arena-global slots for this member
+) -> jax.Array:
+    """rows = values[slots] via an MXU one-hot matmul (bit-identical to the
+    gather for int8/fp8/bf16 arenas: the values are exact in bf16; fp32
+    arenas use a HIGHEST-precision f32 matmul which is exact for one-hot
+    masks)."""
+    if values.ndim == 3:
+        # Blocked [K, SUB, D] layout (only reachable when tests force a tiny
+        # block size): flatten — one-hot arenas are small by construction.
+        values = values.reshape(-1, values.shape[-1])
+    seg = values[offset : offset + size]
+    local = slots - offset
+    iota = jax.lax.broadcasted_iota(jnp.int32, (slots.shape[0], size), 1)
+    mask = local[:, None] == iota
+    if seg.dtype == jnp.float32:
+        return jax.lax.dot_general(
+            mask.astype(jnp.float32), seg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jax.lax.dot_general(
+        mask.astype(jnp.bfloat16), seg.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def gather_rows_for_groups(
+    vals: Sequence[jax.Array],
+    dscales: Sequence[Optional[jax.Array]],
+    slots: Sequence[jax.Array],
+    scin: Sequence[Optional[jax.Array]],
+    meta: tuple,
+) -> list[jax.Array]:
+    """Pure-jax device lookup over arena groups.
+
+    One entry per group in each parallel list; ``meta[g]`` is a static
+    descriptor:
+
+      ("gather",)
+          -> gather_dequant_xla(vals, dscales, slots)    [arena kind]
+      ("onehot", (offset, ...), (size, ...), (padded_count, ...))
+          -> per-member one-hot matmuls, concatenated    [onehot kind]
+
+    ``scin[g]`` (host-gathered per-key scales, or None) multiplies the f32
+    rows — the solo/onehot scale path.
+    """
+    outs = []
+    for v, ds, sl, si, m in zip(vals, dscales, slots, scin, meta):
+        if m[0] == "onehot":
+            _, offs, sizes, counts = m
+            parts, p = [], 0
+            for o, sz, c in zip(offs, sizes, counts):
+                parts.append(onehot_member_rows(v, o, sz, sl[p : p + c]))
+                p += c
+            rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        else:
+            rows = gather_dequant_xla(v, ds, sl)
+        if si is not None:
+            rows = rows * si[:, None]
+        outs.append(rows)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def lookup_groups_jit(vals, dscales, slots, scin, meta):
+    """Jitted standalone wrapper (retraces per (shapes, meta) signature —
+    bounded by the bucket grid)."""
+    return gather_rows_for_groups(vals, dscales, slots, scin, meta)

@@ -43,18 +43,31 @@ from hugectr_backend_tpu.tiers.hbm import DeviceTable
 
 def arena_member_max_rows() -> int:
     """Tables with at most this many resident rows join a shared per-dim
-    arena; larger tables get solo device arrays (see _build_cache note).
+    "arena"-kind group (XLA gather + fused device scales gather); larger
+    tables go "solo" (XLA gather + host-gathered scales).
 
-    Tuned on v5e (2026-08): gather per-row cost scales with the gathered
-    ARRAY's size class (~9-15 ns/row under ~8 MB, ~22 ns/row at 190 MB+),
-    while independent gather ops in one program OVERLAP (2 ops ~= 1 op
-    latency; 5 ops ~= 1.8x). So the arena should stay in the fast size
-    class and everything else goes solo: 64k rows x 128d int8 keeps the
-    shared arena under ~8 MB. Measured on the Criteo-26 layout: 21-table
-    arena 2407 us/batch -> small-arena + solo 1827 us/batch (1.32x)."""
+    Slope-timed on v5e (2026-08, scripts/microbench_true.py): the XLA gather
+    floor is ~10 ns/access at ANY table size, but a device scales gather on a
+    large (>100 MB) scales array adds ~14 ns/access — 60% of big-table
+    lookup cost — while on small arenas it fuses and is nearly free. So the
+    boundary is about where the scales array stops being cache-friendly;
+    64k rows x 128d int8 keeps the shared arena + scales under ~8.5 MB."""
     import os
 
     return int(os.environ.get("HPS_TPU_ARENA_MEMBER_MAX_ROWS", 1 << 16))
+
+
+def onehot_member_max_rows() -> int:
+    """Tables with at most this many resident rows are served by the MXU
+    one-hot matmul path instead of any per-access gather.
+
+    Slope-timed on v5e (scripts/microbench_onehot_v2.py): the pure-XLA
+    one-hot costs ~2 ps per (key x member row) vs the ~10 ns/access gather
+    floor, so the break-even is ~4.9k rows; 4096 is the conservative
+    default."""
+    import os
+
+    return int(os.environ.get("HPS_TPU_ONEHOT_MAX_ROWS", 1 << 12))
 
 log = logging.getLogger("hps_tpu.ps")
 
@@ -206,26 +219,28 @@ class HierParameterServer:
             defaults.append(params.default_value_for_table(t))
             dims.append(params.embedding_vecsize_per_table[t])
 
-        # Grouping policy (v5e measurements, ops/dequant_gather.py): each
-        # gather op costs ~50-75 us fixed, and per-access cost grows with the
-        # gathered array's size class. So SMALL same-dim tables share one
-        # arena (one gather amortizes the op overhead; the arena stays in a
-        # fast size class), while HUGE tables stay solo (merging them into
-        # one giant arena drags every member to the worst rate class).
+        # Grouping policy (slope-timed v5e measurements — see
+        # tiers/hbm.py DeviceArena and cache/lookup_program.py):
+        #   tiny tables  -> per-dim "onehot" arena (MXU matmul, no gather)
+        #   small tables -> per-dim "arena" (one gather + fused dev scales)
+        #   huge tables  -> "solo" (gather + host-side per-key scales)
         tables: list = [None] * params.num_tables
         groups: dict = {}
         for t, d in enumerate(dims):
             n_res = host_tables[t][0].shape[0]
-            if n_res <= arena_member_max_rows():
+            if n_res + 1 <= onehot_member_max_rows():
+                groups.setdefault(("onehot", d), []).append(t)
+            elif n_res <= arena_member_max_rows():
                 groups.setdefault(("arena", d), []).append(t)
             else:
                 groups.setdefault(("solo", t), []).append(t)
-        for gkey, members in groups.items():
+        for (gkind, _), members in groups.items():
             views = build_arena_views(
                 [host_tables[t] for t in members],
                 quant=quant,
                 default_values=[defaults[t] for t in members],
                 device=device,
+                lookup_kind=gkind,
             )
             for t, v in zip(members, views):
                 tables[t] = v

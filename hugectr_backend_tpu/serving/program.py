@@ -100,36 +100,64 @@ class FusedMultiTableServer:
             params.maxnum_catfeature_query_per_table_per_sample
         )
 
-        @functools.partial(jax.jit, static_argnames=("batch",))
-        def fwd(values_list, scales_list, slots_list, dense, batch: int):
-            embs = []
-            for v, s, sl, k in zip(
-                values_list, scales_list, slots_list, self.keys_per_sample
-            ):
-                flat = gather_dequant_xla(v, s, sl)
-                embs.append(flat.reshape(batch, k, flat.shape[-1]))
+        from hugectr_backend_tpu.cache.lookup_program import (
+            gather_rows_for_groups,
+        )
+
+        @functools.partial(
+            jax.jit, static_argnames=("batch", "meta", "slices")
+        )
+        def fwd(vals, dscales, slots, scin, dense, batch: int, meta, slices):
+            gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
+            embs = [
+                gouts[g][start : start + cnt].reshape(batch, k, d)
+                for (g, start, cnt, k, d) in slices
+            ]
             return assemble_fn(dense, embs)
 
         self._fwd = fwd
 
     def predict(self, keys_per_table, dense) -> jax.Array:
-        """keys_per_table[t]: [B, K_t] (or flat B*K_t); dense [B, Nd]."""
+        """keys_per_table[t]: [B, K_t] (or flat B*K_t); dense [B, Nd].
+
+        The lookups run through the shared production access path
+        (cache/lookup_program.py: one-hot MXU for tiny tables, arena gather
+        with fused device scales, solo gather with host-side scales) and
+        compile INTO the dense forward — one XLA program end to end.
+        """
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
-        slots_list = []
-        for t, keys in enumerate(keys_per_table):
-            keys = np.asarray(keys, dtype=np.int64).reshape(
-                b * self.keys_per_sample[t]
+        cache = self.cache
+        counts, local_slots = [], []
+        with cache._lock:
+            for t, keys in enumerate(keys_per_table):
+                keys = np.asarray(keys, dtype=np.int64).reshape(
+                    b * self.keys_per_sample[t]
+                )
+                local_slots.append(cache.translate(t, keys))
+                counts.append(keys.shape[0])
+            vals, dscales, slots, scin, meta, table_pos = cache.prepare_lookup(
+                counts, local_slots
             )
-            slots_list.append(
-                jnp.asarray(self.cache.translate(t, keys).astype(np.int32))
+        slices = tuple(
+            (
+                table_pos[t][0],
+                table_pos[t][1],
+                counts[t],
+                self.keys_per_sample[t],
+                cache.tables[t].dim,
             )
+            for t in range(len(cache.tables))
+        )
         return self._fwd(
-            [tb.values for tb in self.cache.tables],
-            [tb.scales for tb in self.cache.tables],
-            slots_list,
+            vals,
+            dscales,
+            [jnp.asarray(a) for a in slots],
+            [None if s is None else jnp.asarray(s) for s in scin],
             jnp.asarray(dense),
             batch=b,
+            meta=meta,
+            slices=slices,
         )
 
 

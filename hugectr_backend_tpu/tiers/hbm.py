@@ -203,12 +203,23 @@ class DeviceArena:
     """One physical device allocation holding MANY logical tables of the same
     dim/quant, concatenated row-wise.
 
-    Motivation (measured on v5e): each gather op inside a program carries
-    ~50-75 us of fixed overhead, so a 26-table model pays 26x that per batch.
-    Concatenating same-dim tables turns the whole multi-table lookup into ONE
-    gather over arena-global slots (= local slot + table offset). Each member
-    keeps its own default row inside the arena, so per-table miss semantics
-    are unchanged.
+    Concatenating same-dim tables lets the whole multi-table lookup run as
+    ONE device op over arena-global slots (= local slot + table offset). Each
+    member keeps its own default row inside the arena, so per-table miss
+    semantics are unchanged.
+
+    ``lookup_kind`` selects the device access path (slope-timed v5e
+    measurements, scripts/microbench_true.py / microbench_onehot_v2.py —
+    the XLA gather floor is ~10 ns/access regardless of table size):
+
+    - "arena":  XLA gather + DEVICE scales gather (small arrays: the scales
+                gather fuses and is nearly free).
+    - "solo":   XLA gather + HOST-gathered per-key scales passed as a program
+                input (a device scales gather on a >100 MB scales array costs
+                another ~14 ns/access — 60% of big-table lookup time).
+    - "onehot": MXU one-hot matmul per member (no per-access gather at all;
+                ~2 ps per key x arena-row, beating the 10 ns/access gather for
+                tables under ~4k rows). Scales ride host-side like "solo".
     """
 
     values: jax.Array  # [R_total, D] or blocked [K, SUB, D]
@@ -216,6 +227,10 @@ class DeviceArena:
     dim: int
     quant: Quant
     total_rows: int  # logical rows incl. per-table default rows
+    # Host copy of the per-row dequant scales (solo/onehot kinds): fetched
+    # during key translation so the device program never gathers scales.
+    scales_host: Optional[np.ndarray] = None
+    lookup_kind: str = "arena"  # "arena" | "solo" | "onehot"
 
 
 @dataclasses.dataclass
@@ -264,10 +279,14 @@ def build_arena_views(
     quant: Quant = "int8",
     default_values: Optional[Sequence[float]] = None,
     device: Optional[jax.Device] = None,
+    lookup_kind: str = "arena",
 ) -> list[ArenaView]:
     """Build one shared arena from [(keys, vectors), ...] of equal dim.
 
     Returns per-table views; ``view.offset + local_slot`` addresses the arena.
+    ``lookup_kind`` ("arena" | "solo" | "onehot") selects the device access
+    path (see :class:`DeviceArena`); solo/onehot keep a host copy of the
+    scales for translation-time fetch.
     """
     if not tables:
         return []
@@ -289,6 +308,8 @@ def build_arena_views(
     vals = np.concatenate(vals_parts)
     scales = np.concatenate(scales_parts) if scales_parts else None
     total_rows = int(vals.shape[0])
+    keep_host_scales = lookup_kind in ("solo", "onehot") and scales is not None
+    scales_host = scales.copy() if keep_host_scales else None
     vals, scales = _maybe_block(vals, scales, dim)
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
     arena = DeviceArena(
@@ -297,6 +318,8 @@ def build_arena_views(
         dim=dim,
         quant=quant,
         total_rows=total_rows,
+        scales_host=scales_host,
+        lookup_kind=lookup_kind,
     )
     return [
         ArenaView(arena=arena, index=index, offset=off, dim=dim, quant=quant,
