@@ -30,7 +30,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hugectr_backend_tpu.parallel.sharded_table import (
     ShardedTable,
+    _a2a_shardmap,
     _lookup_shardmap,
+    plan_all_to_all,
 )
 
 
@@ -39,6 +41,11 @@ class ShardedFusedServer:
 
     ``assemble_fn(dense, embs) -> logits`` receives replicated embeddings;
     the dense forward runs data-parallel over the ``data`` axis.
+
+    ``strategy`` selects the collective lookup (parallel/sharded_table.py):
+    "all_to_all" (default — host dedup + bucket routing; the host translates
+    keys anyway, and the deduped row blocks ride one all_gather that XLA
+    overlaps with the bottom-MLP compute) or "psum" (host-free fallback).
     """
 
     def __init__(
@@ -47,22 +54,37 @@ class ShardedFusedServer:
         tables: Sequence[ShardedTable],
         keys_per_sample: Sequence[int],
         assemble_fn: Callable,
+        strategy: str = "all_to_all",
     ):
+        if strategy not in ("psum", "all_to_all"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         self.mesh = mesh
         self.tables = list(tables)
         self.keys_per_sample = list(keys_per_sample)
-        lookups = [
-            _lookup_shardmap(mesh, t.scales is not None, t.rows_padded)
-            for t in self.tables
-        ]
+        self.strategy = strategy
+        if strategy == "psum":
+            lookups = [
+                _lookup_shardmap(mesh, t.scales is not None, t.rows_padded)
+                for t in self.tables
+            ]
+        else:
+            lookups = [
+                _a2a_shardmap(mesh, t.scales is not None) for t in self.tables
+            ]
 
         @functools.partial(jax.jit, static_argnames=("batch",))
-        def fwd(values_list, scales_list, slots_list, dense, batch: int):
+        def fwd(values_list, scales_list, routed_list, dense, batch: int):
             embs = []
-            for lk, v, s, sl, k in zip(
-                lookups, values_list, scales_list, slots_list, self.keys_per_sample
+            for lk, v, s, routed, k in zip(
+                lookups, values_list, scales_list, routed_list,
+                self.keys_per_sample,
             ):
-                flat = lk(v, s, sl) if s is not None else lk(v, sl)
+                if strategy == "psum":
+                    (sl,) = routed
+                    flat = lk(v, s, sl) if s is not None else lk(v, sl)
+                else:
+                    bkt, exp = routed
+                    flat = lk(v, s, bkt, exp) if s is not None else lk(v, bkt, exp)
                 embs.append(flat.reshape(batch, k, flat.shape[-1]))
             dense = jax.lax.with_sharding_constraint(
                 dense, NamedSharding(mesh, P("data", None))
@@ -74,14 +96,24 @@ class ShardedFusedServer:
     def predict(self, keys_per_table, dense: np.ndarray) -> jax.Array:
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
-        slots_list = []
+        n_shards = self.mesh.shape["table"]
+        routed_list = []
         for t, keys in enumerate(keys_per_table):
             keys = np.asarray(keys, np.int64).reshape(b * self.keys_per_sample[t])
-            slots_list.append(jnp.asarray(self.tables[t].slots_for(keys)))
+            slots = self.tables[t].slots_for(keys)
+            if self.strategy == "psum":
+                routed_list.append((jnp.asarray(slots),))
+            else:
+                buckets, expand = plan_all_to_all(
+                    slots, n_shards, self.tables[t].rows_padded // n_shards
+                )
+                routed_list.append(
+                    (jnp.asarray(buckets), jnp.asarray(expand))
+                )
         return self._fwd(
             [t.values for t in self.tables],
             [t.scales for t in self.tables],
-            slots_list,
+            routed_list,
             jnp.asarray(dense),
             batch=b,
         )

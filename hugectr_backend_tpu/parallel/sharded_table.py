@@ -6,20 +6,37 @@ reference docs/architecture.md:131-137, docs/hierarchical_parameter_server.md
 :423-458) with tables row-sharded across a TPU mesh's aggregate HBM, looked
 up inside one ``shard_map`` program with XLA collectives over ICI.
 
-Two lookup strategies (both return replicated results):
+Two lookup strategies (both return replicated [N, D] f32 results):
 
-- ``psum``: every shard gathers the slots it owns (others contribute the
-  identity 0 rows) and the partials are ``psum``-ed. Traffic: N x D floats
-  over ICI regardless of shard count; zero load-imbalance sensitivity; no
-  key exchange. Best for moderate N — this is the default.
-- ``all_gather``: each chip all-gathers nothing but computes on its local
-  rows only after slots are replicated — identical traffic shape to psum on
-  a ring; kept for benchmarking comparison.
+- ``all_to_all`` (production serving default): the host — which translates
+  keys to slots anyway — DEDUPS the batch and routes each unique slot to its
+  owner shard's bucket; each shard gathers only the rows it owns, the
+  deduped row blocks ride one ``all_gather`` over ICI, and a cheap local
+  take expands back to request order. Host bucketing makes the bucket
+  capacity exact per batch (pow2-bucketed to bound retraces), so there is NO
+  capacity-overflow correctness hazard, and hot duplicate keys cost one row
+  each.
+- ``psum``: every shard gathers the full replicated slot vector (non-owned
+  slots contribute identity 0 rows) and partials are ``psum``-ed. No host
+  involvement — the right strategy INSIDE a fused/jitted training step where
+  the host cannot intervene per batch. Immune to skew, but the full [N, D]
+  matrix rides the reduction.
 
-Skew note: the reference's Redis partitioning suffers hot-partition imbalance
-(hot keys all hash to one node). The psum strategy is immune: every chip does
-identical work (a local gather of the full slot vector), and hot rows cost
-nothing extra.
+ICI traffic per chip, N=4096 keys, D=128 f32, n=8 shards, zipf(1.05) batch
+(~20% duplicate keys -> ~3.3k unique, bucket capacity pow2 -> 512):
+
+    psum:        ~2 (n-1)/n N D 4B  = 3.7 MB  (ring all-reduce, any batch)
+    all_to_all:  (n-1) cap D 4B     = 1.8 MB  + 16 KB replicated buckets
+
+i.e. ~2x less ICI traffic at n=8 today, scaling as unique/n (vs N for psum)
+with shard count, plus an 8x smaller local gather per shard. Worst-case skew
+(every unique slot owned by one shard) degrades capacity to ~unique, making
+all_to_all's traffic equal psum's — never worse, and the host could detect
+it per batch and pick psum.
+
+The reference's Redis partitioning suffers hot-PARTITION imbalance (hot keys
+hash to one node and each duplicate costs an RPC). Here hot duplicates cost
+one row (dedup), and residual imbalance only shifts the local gather size.
 """
 
 from __future__ import annotations
@@ -154,8 +171,102 @@ def _cached_lookup(mesh: Mesh, has_scales: bool, rows_padded: int):
     return jax.jit(fn)
 
 
-def sharded_lookup(table: ShardedTable, slots: jax.Array) -> jax.Array:
-    """Replicated [N, D] float32 lookup across the mesh (psum strategy)."""
+def _bucket_pow2(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def plan_all_to_all(
+    slots: np.ndarray, n_shards: int, shard_rows: int, min_capacity: int = 8
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Host-side routing plan for the all_to_all strategy.
+
+    Dedups ``slots`` and buckets each unique slot to its owner shard
+    (owner = slot // shard_rows under the contiguous row sharding).
+
+    -> (buckets [n_shards, cap] int32 LOCAL row indices, zero-padded;
+        expand  [N] int32 indices into the flattened [n_shards*cap] gathered
+        rows restoring request order, duplicates included).
+
+    ``cap`` is the pow2 bucket of the max per-owner unique count — exact for
+    this batch, so no overflow hazard exists; retraces are bounded by the
+    pow2 grid.
+    """
+    slots = np.asarray(slots, dtype=np.int64).reshape(-1)
+    uniq, inv = np.unique(slots, return_inverse=True)
+    owner = uniq // shard_rows
+    counts = np.bincount(owner, minlength=n_shards)
+    cap = _bucket_pow2(max(int(counts.max()), 1), min_capacity)
+    order = np.argsort(owner, kind="stable")
+    start = np.concatenate([[0], np.cumsum(counts)])
+    within = np.empty(uniq.shape[0], np.int64)
+    within[order] = np.arange(uniq.shape[0]) - start[owner[order]]
+    buckets = np.zeros((n_shards, cap), np.int32)
+    buckets[owner, within] = (uniq % shard_rows).astype(np.int32)
+    expand = (owner * cap + within)[inv].astype(np.int32)
+    return buckets, expand
+
+
+def _a2a_shardmap(mesh: Mesh, has_scales: bool):
+    """Build the all_to_all-lookup: (values, [scales,] buckets, expand) ->
+    replicated [N, D] f32. Each shard gathers its own deduped bucket; the
+    row blocks ride ONE all_gather over ICI; a local take expands back.
+    Shape-polymorphic over the bucket capacity (jit retraces per cap)."""
+
+    def gather_exchange(values_l, scales_l, buckets, expand):
+        o = jax.lax.axis_index("table")
+        mine = jax.lax.dynamic_index_in_dim(buckets, o, axis=0,
+                                            keepdims=False)  # [cap]
+        rows = jnp.take(values_l, mine, axis=0).astype(jnp.float32)
+        if scales_l is not None:
+            rows = rows * jnp.take(scales_l, mine)[:, None]
+        allr = jax.lax.all_gather(rows, "table", axis=0)  # [n, cap, D]
+        return jnp.take(allr.reshape(-1, rows.shape[-1]), expand, axis=0)
+
+    if has_scales:
+        in_specs = (P("table", None), P("table"), P(), P())
+        fn = gather_exchange
+    else:
+        in_specs = (P("table", None), P(), P())
+        fn = lambda v, b, e: gather_exchange(v, None, b, e)
+    # check_vma=False: each shard picks ITS bucket via axis_index, so the
+    # checker can't statically prove the post-all_gather output is
+    # replicated — it is (every shard computes the identical expand over the
+    # identical gathered blocks).
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                         check_vma=False)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_a2a(mesh: Mesh, has_scales: bool):
+    return jax.jit(_a2a_shardmap(mesh, has_scales))
+
+
+def sharded_lookup(
+    table: ShardedTable, slots, strategy: str = "psum"
+) -> jax.Array:
+    """Replicated [N, D] float32 lookup across the mesh.
+
+    ``strategy``:
+    - "psum" (default, host-free: safe inside jitted steps)
+    - "all_to_all" (serving production path: host dedup + bucket routing;
+      ``slots`` must be host-resident — it IS, coming from key translation)
+    """
+    if strategy == "all_to_all":
+        n_shards = table.mesh.shape["table"]
+        shard_rows = table.rows_padded // n_shards
+        buckets, expand = plan_all_to_all(
+            np.asarray(slots), n_shards, shard_rows
+        )
+        fn = _cached_a2a(table.mesh, table.scales is not None)
+        if table.scales is not None:
+            return fn(table.values, table.scales, jnp.asarray(buckets),
+                      jnp.asarray(expand))
+        return fn(table.values, jnp.asarray(buckets), jnp.asarray(expand))
+    if strategy != "psum":
+        raise ValueError(f"unknown sharded lookup strategy {strategy!r}")
     fn = _cached_lookup(table.mesh, table.scales is not None, table.rows_padded)
     if table.scales is not None:
         return fn(table.values, table.scales, slots.astype(jnp.int32))

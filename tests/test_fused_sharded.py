@@ -66,3 +66,29 @@ def test_sharded_dcn_miss_defaults(sharded_dcn):
     ]
     logits = np.asarray(srv.predict(keys, np.zeros((b, 4), np.float32)))
     assert np.isfinite(logits).all()
+
+
+def test_sharded_dcn_psum_vs_a2a_parity(sharded_dcn, cpu_devices):
+    """Both collective strategies must produce identical logits."""
+    from hugectr_backend_tpu.parallel.fused_sharded import ShardedFusedServer
+
+    srv, tbls, mesh, model, mp = sharded_dcn
+
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)
+        return model.apply(mp, dense, emb)
+
+    srv_psum = ShardedFusedServer(
+        mesh, srv.tables, srv.keys_per_sample, assemble, strategy="psum"
+    )
+    rng = np.random.default_rng(3)
+    b = 8
+    keys = [
+        tbls[0].keys[rng.integers(0, 600, (b, 1))],
+        tbls[1].keys[rng.integers(0, 700, (b, 1))],
+        tbls[2].keys[rng.integers(0, 800, (b, 2))],
+    ]
+    dense = rng.standard_normal((b, 4)).astype(np.float32)
+    a2a = np.asarray(srv.predict(keys, dense))      # default all_to_all
+    psum = np.asarray(srv_psum.predict(keys, dense))
+    np.testing.assert_allclose(a2a, psum, rtol=1e-5, atol=1e-5)

@@ -57,6 +57,11 @@ miss = tbl.slots_for(np.asarray([-123456789], np.int64))
 mo = np.asarray(sharded_lookup(tbl, jax.numpy.asarray(miss)))
 assert np.allclose(mo, 0.0), "miss must yield the default row"
 
+# Production serving strategy (all_to_all: host dedup + bucket routing +
+# one all_gather) must match the psum result across both processes.
+a2a = np.asarray(sharded_lookup(tbl, slots, strategy="all_to_all"))
+np.testing.assert_allclose(a2a, out, rtol=1e-6)
+
 # Full production training step across both processes (driver contract).
 import __graft_entry__ as g
 g.dryrun_multichip(8)
