@@ -62,6 +62,136 @@ if os.environ.get("HPS_BENCH_SMOKE"):
     BATCH, SMALL_BATCH, IT_LO, IT_HI = 128, 64, 4, 12
 
 
+def e2e_serving_stage():
+    """Serve a Criteo-shaped lookup model over the HTTP frontend on this
+    chip and drive it with the perf client (the reference's CI gate is
+    ``perf_analyzer -m dlrm --shape KEYS:26`` end-to-end,
+    .gitlab-ci.yml:70). Cardinalities are capped at 20k rows/table so the
+    host->device upload stays small; the measurement quantifies FRONTEND
+    overhead (HTTP parse + continuous batcher + translation + dispatch),
+    which is table-size independent. NOTE: on this tunneled dev setup every
+    device execution pays ~26 ms RTT, which bounds e2e qps; production
+    chips are host-attached and do not.
+    """
+    import tempfile
+    import threading
+    import urllib.request
+
+    import numpy as np
+
+    from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+    from hugectr_backend_tpu.io.synthetic import make_synthetic_table
+    from hugectr_backend_tpu.serving.server import serve
+
+    smoke = bool(os.environ.get("HPS_BENCH_SMOKE"))
+    cards = [min(c, 2_000 if smoke else 20_000) for c in CRITEO_CARDS]
+    if smoke:
+        cards = cards[:4]
+    duration, conc = (2.0, 2) if smoke else (10.0, 8)
+    tmp = tempfile.mkdtemp(prefix="hps_bench_e2e_")
+    sparse_files, table_keys = [], []
+    for i, c in enumerate(cards):
+        tbl = make_synthetic_table(c, DIM, seed=i, deterministic_fn=False)
+        p = f"{tmp}/t{i}"
+        write_sparse_model(p, tbl.keys, tbl.vectors)
+        sparse_files.append(p)
+        table_keys.append(tbl.keys)
+    cfg = {
+        "supportlonglong": True,
+        "models": [{
+            "model": "dlrm", "sparse_files": sparse_files,
+            "dense_file": "", "network_file": "",
+            "max_batch_size": 256,
+            "embedding_vecsize_per_table": [DIM] * len(cards),
+            "maxnum_catfeature_query_per_table_per_sample": [1] * len(cards),
+            "default_value_for_each_table": [0.0] * len(cards),
+            "deployed_device_list": [0], "gpucache": True,
+            "gpucacheper": 1.0,
+        }],
+    }
+    server = serve(ps_source=cfg, port=0, block=False)
+    try:
+        url = f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer"
+        batch = 8 if smoke else 64
+        n_t = len(cards)
+        # Zipf over REAL table keys (hot path; misses are a separate axis).
+        def req_keys(seed):
+            r = np.random.default_rng(seed)
+            return np.concatenate([
+                k[r.zipf(1.05, batch) % k.shape[0]] for k in table_keys
+            ])
+        keys_np = [req_keys(s) for s in range(32)]
+        lat = []
+        lat_lock = threading.Lock()
+        stop = threading.Event()
+
+        def post(keys, per_table, timeout=300):
+            import json as _json
+
+            req = _json.dumps({
+                "inputs": [
+                    {"name": "KEYS", "datatype": "INT64",
+                     "shape": [keys.shape[0]], "data": keys.tolist()},
+                    {"name": "NUMKEYS", "datatype": "INT32",
+                     "shape": [n_t], "data": [per_table] * n_t},
+                ]
+            }).encode()
+            r = urllib.request.urlopen(urllib.request.Request(
+                url, data=req,
+                headers={"Content-Type": "application/json"}),
+                timeout=timeout)
+            r.read()
+
+        # Warm the compiled-signature grid: the batcher pow2-pads merged
+        # per-table counts, so merges of any concurrency mix land on one of
+        # these warmed executables instead of compiling mid-measurement.
+        r = np.random.default_rng(99)
+        wb = batch
+        while wb <= 256:
+            wkeys = np.concatenate([
+                k[r.integers(0, k.shape[0], wb)] for k in table_keys])
+            post(wkeys, wb)
+            wb *= 2
+
+        def client(cid):
+            i = cid
+            while not stop.is_set():
+                keys = keys_np[i % len(keys_np)]
+                i += 1
+                t0 = time.perf_counter()
+                post(keys, batch, timeout=60)
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+
+        threads = [threading.Thread(target=client, args=(c,), daemon=True)
+                   for c in range(conc)]
+        t_start = time.perf_counter()
+        for th in threads:
+            th.start()
+        time.sleep(duration)
+        stop.set()
+        for th in threads:
+            th.join(timeout=30)
+        wall = time.perf_counter() - t_start
+        with lat_lock:
+            n = len(lat)
+            ls = np.sort(np.asarray(lat))
+        if n == 0:
+            return {"e2e_error": "no completed requests"}
+        return {
+            "e2e_http_qps": round(n / wall, 1),
+            "e2e_http_samples_per_s": round(n * batch / wall, 1),
+            "e2e_batch": batch,
+            "e2e_concurrency": conc,
+            "e2e_p50_ms": round(float(ls[n // 2]) * 1e3, 2),
+            "e2e_p99_ms": round(float(ls[min(int(n * 0.99), n - 1)]) * 1e3, 2),
+            "e2e_note": f"{n_t}-table lookup via HTTP json; tunnel adds ~26ms "
+                        "RTT per device execution on this dev setup",
+        }
+    finally:
+        server.stop()
+
+
 def host_scale(i):
     """The synthetic per-row scale formula (host-computable mirror of the
     on-device table generator below)."""
@@ -248,6 +378,11 @@ def main():
     us_e2e = slope_us(BATCH, e2e=(model, params, dense0))
     e2e_qps = BATCH / us_e2e * 1e6
 
+    try:
+        e2e_extra = e2e_serving_stage()
+    except Exception as e:  # never fail the bench on the serving stage
+        e2e_extra = {"e2e_error": repr(e)}
+
     baseline_vectors_per_s = 1.0e9  # A100 HPS reference point (see docstring)
     print(
         json.dumps(
@@ -270,6 +405,7 @@ def main():
                 "timing": "slope over 64->320 scan iters (tunnel-RTT-free; "
                           "round-1 numbers included ~410us/batch of RTT)",
                 "device": str(jax.devices()[0]),
+                **e2e_extra,
             }
         )
     )

@@ -147,6 +147,67 @@ class EmbeddingCache:
         """Host-side key -> slot translation; misses -> default-row slot."""
         return self.tables[table_idx].slots_for(keys)
 
+    def _translate_all(self, keys_per_table):
+        """Translate every table's keys under the caller-held lock; updates
+        the hit meter. -> (local_slots, counts, miss_info)."""
+        local_slots, counts, miss_info = [], [], []
+        for t in range(len(self.tables)):
+            keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
+            n = keys.shape[0]
+            slots = self.translate(t, keys)
+            miss_mask = slots == self.tables[t].index.miss_slot
+            n_hit = int(n - miss_mask.sum())
+            self.hit_meter.update(t, n_hit, n)
+            local_slots.append(slots)
+            counts.append(n)
+            miss_info.append((keys, miss_mask))
+        return local_slots, counts, miss_info
+
+    def lookup_flat(self, keys_per_table: Sequence[np.ndarray]) -> jax.Array:
+        """Like :meth:`lookup` but returns ONE flat f32 device array —
+        table 0's rows, then table 1's, ... (the KEYS/NUMKEYS wire format's
+        OUTPUT0 layout). On the all-hit path this is a single compiled
+        program and a single device->host transfer when fetched — the
+        serving frontend's hot path (a per-table fetch costs a full
+        dispatch round-trip each on remote-attached setups)."""
+        from hugectr_backend_tpu.cache.lookup_program import lookup_flat_jit
+
+        with self._lock:
+            local_slots, counts, miss_info = self._translate_all(
+                keys_per_table
+            )
+            need_merge = self.tier_query is not None and any(
+                m.any() for _, m in miss_info
+            )
+            if not need_merge:
+                vals_l, dscales_l, slots_l, scin_l, metas, table_pos = (
+                    self.prepare_lookup(counts, local_slots)
+                )
+        if not need_merge:
+            from hugectr_backend_tpu.cache.lookup_program import pack_host_args
+
+            slices = tuple(
+                (table_pos[t][0], table_pos[t][1], counts[t])
+                for t in range(len(self.tables))
+            )
+            slots_cat, sb, scin_cat, cb = pack_host_args(slots_l, scin_l)
+            return lookup_flat_jit(
+                vals_l,
+                dscales_l,
+                jnp.asarray(slots_cat),
+                None if scin_cat is None else jnp.asarray(scin_cat),
+                metas,
+                sb,
+                cb,
+                slices,
+            )
+        # Miss path (cold cache): full lookup with tier merge, then an
+        # eager device-side flatten.
+        outs = self.lookup(keys_per_table)
+        if not outs:
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.concatenate([o.reshape(-1) for o in outs])
+
     def prepare_lookup(self, counts: Sequence[int], local_slots):
         """Host-side assembly of the device-program arguments (call under
         ``self._lock`` so slots and array snapshots stay consistent).
@@ -234,35 +295,33 @@ class EmbeddingCache:
         insert policy.
         """
         n_tables = len(self.tables)
-        local_slots, counts, miss_info = [], [], []
         # Translation and the values snapshot happen under ONE lock hold:
         # table arrays are functional (inserts REPLACE them), so a snapshot
         # consistent with the translated slots stays valid even if an insert
         # lands while the gather runs.
         with self._lock:
-            for t in range(n_tables):
-                keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
-                n = keys.shape[0]
-                slots = self.translate(t, keys)
-                miss_mask = slots == self.tables[t].index.miss_slot
-                n_hit = int(n - miss_mask.sum())
-                self.hit_meter.update(t, n_hit, n)
-                local_slots.append(slots)
-                counts.append(n)
-                miss_info.append((keys, miss_mask))
+            local_slots, counts, miss_info = self._translate_all(
+                keys_per_table
+            )
             vals_l, dscales_l, slots_l, scin_l, metas, table_group = (
                 self.prepare_lookup(counts, local_slots)
             )
 
-        from hugectr_backend_tpu.cache.lookup_program import lookup_groups_jit
+        from hugectr_backend_tpu.cache.lookup_program import (
+            lookup_groups_jit,
+            pack_host_args,
+        )
 
+        slots_cat, sb, scin_cat, cb = pack_host_args(slots_l, scin_l)
         gouts = list(
             lookup_groups_jit(
                 vals_l,
                 dscales_l,
-                [jnp.asarray(a) for a in slots_l],
-                [None if s is None else jnp.asarray(s) for s in scin_l],
+                jnp.asarray(slots_cat),
+                None if scin_cat is None else jnp.asarray(scin_cat),
                 metas,
+                sb,
+                cb,
             )
         )
 
@@ -302,42 +361,89 @@ class EmbeddingCache:
         """Static cache: no online insert (reference static cache semantics)."""
         return
 
+    @property
+    def _refresh_pool(self):
+        """Refresher worker pool, sized by ``num_of_refresher_buffer_in_pool``
+        (reference docs/hierarchical_parameter_server.md:217-238): per-table
+        refresh windows run concurrently, and tier queries never hold the
+        cache lock."""
+        pool = getattr(self, "_refresh_pool_", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=max(self.params.num_of_refresher_buffer_in_pool, 1),
+                thread_name_prefix=f"hps-refresh-{self.params.model_name}",
+            )
+            self._refresh_pool_ = pool
+        return pool
+
     def refresh(self, fraction: Optional[float] = None) -> int:
         """Re-pull the resident rows' values from the lower tiers.
 
         Implements ``refresh_embedding_cache`` for this device (reference
         model_state.cpp:145-178): refreshes ``cache_refresh_percentage_per_iteration``
         of the cache per call unless ``fraction`` overrides it. Returns rows
-        refreshed.
+        refreshed. Per-table windows run on the refresher pool; tier queries
+        and quantization happen OFF the cache lock (lookups keep flowing),
+        with only the slot window selection and the scatter dispatch under it.
         """
         if self.tier_query is None:
             return 0
-        frac = self.params.cache_refresh_percentage_per_iteration if fraction is None else fraction
-        refreshed = 0
-        with self._lock:
-            for t, table in enumerate(self.tables):
-                cap = table.capacity
-                if cap == 0:
-                    continue
-                n = max(int(cap * frac), 1) if frac < 1.0 else cap
-                # Round-robin window over the sorted key space.
-                start = getattr(table, "_refresh_cursor", 0)
-                idx = (np.arange(n) + start) % cap
-                setattr(table, "_refresh_cursor", int((start + n) % cap))
-                keys = table.index.sorted_keys[idx]
-                vecs, found = self.tier_query(t, keys)
-                if not found.any():
-                    continue
-                self._write_rows(t, idx[found], vecs[found])
-                refreshed += int(found.sum())
-        return refreshed
+        frac = (
+            self.params.cache_refresh_percentage_per_iteration
+            if fraction is None
+            else fraction
+        )
+        futs = [
+            self._refresh_pool.submit(self._refresh_table, t, frac)
+            for t in range(len(self.tables))
+        ]
+        return sum(f.result() for f in futs)
 
-    def _write_rows(self, table_idx: int, slots: np.ndarray, vectors: np.ndarray):
-        """Quantize + scatter rows into the device table (functional update)."""
+    def _refresh_table(self, t: int, frac: float) -> int:
+        table = self.tables[t]
+        cap = table.capacity
+        if cap == 0:
+            return 0
+        with self._lock:
+            n = max(int(cap * frac), 1) if frac < 1.0 else cap
+            # Round-robin window over the sorted key space.
+            start = getattr(table, "_refresh_cursor", 0)
+            idx = (np.arange(n) + start) % cap
+            setattr(table, "_refresh_cursor", int((start + n) % cap))
+            keys = table.index.sorted_keys[idx]
+        vecs, found = self.tier_query(t, keys)  # off-lock tier read
+        if not found.any():
+            return 0
+        prepared = self._prepare_rows(t, vecs[found])
+        with self._lock:
+            # Static cache: slot i == i-th sorted key forever, so the window
+            # needs no revalidation after the off-lock fetch.
+            self._apply_prepared(t, idx[found], prepared)
+        return int(found.sum())
+
+    def _prepare_rows(self, table_idx: int, vectors: np.ndarray):
+        """Quantize rows for a later ``_apply_prepared`` — pure host compute,
+        call WITHOUT the cache lock (this is the heavy part of a write)."""
         from hugectr_backend_tpu.ops.quantize import (
             quantize_rows_fp8,
             quantize_rows_int8,
         )
+
+        table = self.tables[table_idx]
+        if table.quant in ("int8", "fp8"):
+            quantize = (
+                quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
+            )
+            q, s = quantize(np.asarray(vectors, np.float32))
+            return (q, s)
+        return (np.asarray(vectors, np.float32), None)
+
+    def _apply_prepared(self, table_idx: int, slots: np.ndarray, prepared):
+        """Scatter pre-quantized rows (dispatch only — cheap). Caller holds
+        ``self._lock`` so the functional array swap pairs atomically with
+        slot visibility."""
         from hugectr_backend_tpu.tiers.hbm import scatter_rows, scatter_scales
 
         table = self.tables[table_idx]
@@ -345,20 +451,28 @@ class EmbeddingCache:
         slots_np = np.asarray(slots, dtype=np.int64)
         if arena is not None:
             slots_np = slots_np + table.offset
-        slots = jnp.asarray(slots_np.astype(np.int32))
+        slots_d = jnp.asarray(slots_np.astype(np.int32))
         holder = arena if arena is not None else table
-        if table.quant in ("int8", "fp8"):
-            quantize = quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
-            q, s = quantize(vectors)
-            holder.values = scatter_rows(holder.values, slots, jnp.asarray(q))
-            holder.scales = scatter_scales(holder.scales, slots, jnp.asarray(s))
+        q, s = prepared
+        if s is not None:
+            holder.values = scatter_rows(holder.values, slots_d, jnp.asarray(q))
+            holder.scales = scatter_scales(
+                holder.scales, slots_d, jnp.asarray(s)
+            )
             # Keep the host scales copy (solo/onehot translation-time fetch)
-            # in sync; called under self._lock like every writer.
+            # in sync.
             sh = getattr(holder, "scales_host", None)
             if sh is not None:
                 sh[slots_np] = s
         else:
-            holder.values = scatter_rows(holder.values, slots, jnp.asarray(vectors))
+            holder.values = scatter_rows(holder.values, slots_d, jnp.asarray(q))
+
+    def _write_rows(self, table_idx: int, slots: np.ndarray, vectors: np.ndarray):
+        """Quantize + scatter rows (compat wrapper; callers hold the lock).
+        Hot paths use _prepare_rows (off-lock) + _apply_prepared instead."""
+        self._apply_prepared(
+            table_idx, slots, self._prepare_rows(table_idx, vectors)
+        )
 
     def nbytes(self) -> int:
         return sum(t.nbytes() for t in self.tables)
@@ -380,7 +494,7 @@ class DynamicEmbeddingCache(EmbeddingCache):
 
     def __init__(self, params, tables, device=None, tier_query=None):
         super().__init__(params, tables, device=device, tier_query=tier_query)
-        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
 
         from hugectr_backend_tpu.cache.slotmap import make_slotmap
 
@@ -392,11 +506,26 @@ class DynamicEmbeddingCache(EmbeddingCache):
                 slots, _ = sm.acquire(t.index.sorted_keys)
                 assert slots[0] == 0 if t.capacity else True
             self.slotmaps.append(sm)
-        self._insert_pool = ThreadPoolExecutor(
-            max_workers=max(params.num_of_worker_buffer_in_pool, 1),
-            thread_name_prefix=f"hps-insert-{params.model_name}",
-        )
         self._rng = np.random.default_rng(0)
+        # Async inserts go through a bounded queue drained by one worker:
+        # pending batches coalesce per table, quantization runs OFF the
+        # cache lock, and only slot-acquire + scatter dispatch hold it —
+        # an insert storm no longer inflates lookup latency (the round-1
+        # design quantized under the shared lock). Queue depth is bounded by
+        # the worker buffer pool size (reference worker-buffer semantics,
+        # docs/hierarchical_parameter_server.md:217-225); overflow drops the
+        # newest batch — safe, the tiers remain authoritative.
+        self._pending = deque()
+        self._pending_cv = threading.Condition()
+        self._max_pending = max(4 * params.num_of_worker_buffer_in_pool, 8)
+        self.dropped_inserts = 0
+        self._stop_drainer = False
+        self._drainer = threading.Thread(
+            target=self._drain_loop,
+            daemon=True,
+            name=f"hps-insert-{params.model_name}",
+        )
+        self._drainer_started = False
 
     def translate(self, table_idx: int, keys: np.ndarray) -> np.ndarray:
         # Taken under the cache lock so a key never becomes visible between
@@ -419,44 +548,93 @@ class DynamicEmbeddingCache(EmbeddingCache):
         if self.hit_meter.rate(table_idx) < self.params.hit_rate_threshold:
             self._insert(table_idx, keys, vectors)
         else:
-            self._insert_pool.submit(self._insert, table_idx, keys.copy(), vectors.copy())
+            with self._pending_cv:
+                if not self._drainer_started:
+                    self._drainer.start()
+                    self._drainer_started = True
+                if len(self._pending) >= self._max_pending:
+                    self.dropped_inserts += 1
+                    return
+                self._pending.append((table_idx, keys.copy(), vectors.copy()))
+                self._pending_cv.notify()
 
     def _insert(self, table_idx, keys, vectors):
+        # Quantize OFF the lock; acquire + scatter-dispatch pair atomically
+        # under it (a key must never be translatable before its row lands).
+        prepared = self._prepare_rows(table_idx, vectors)
         with self._lock:
             slots, _evicted = self.slotmaps[table_idx].acquire(keys)
-            self._write_rows(table_idx, slots, vectors)
+            self._apply_prepared(table_idx, slots, prepared)
 
-    def refresh(self, fraction=None) -> int:
-        """Refresh resident rows from the tiers, slotmap-aware."""
-        if self.tier_query is None:
+    def _drain_loop(self):
+        while True:
+            with self._pending_cv:
+                while not self._pending and not self._stop_drainer:
+                    self._pending_cv.wait()
+                if self._stop_drainer and not self._pending:
+                    return
+                batch = list(self._pending)
+                self._pending.clear()
+                self._drain_busy = True
+            # Coalesce per table; for duplicate keys the LAST enqueued row
+            # wins (np.unique keeps the first occurrence, so reverse first).
+            per_table: dict[int, list] = {}
+            for t, k, v in batch:
+                per_table.setdefault(t, []).append((k, v))
+            for t, parts in per_table.items():
+                keys = np.concatenate([k for k, _ in parts])[::-1]
+                vecs = np.concatenate([v for _, v in parts])[::-1]
+                _, first = np.unique(keys, return_index=True)
+                self._insert(t, keys[first], vecs[first])
+            with self._pending_cv:
+                self._drain_busy = False
+                self._pending_cv.notify_all()
+
+    def pending_inserts(self) -> int:
+        with self._pending_cv:
+            return len(self._pending)
+
+    def _refresh_table(self, t: int, frac: float) -> int:
+        """Slotmap-aware per-table refresh window (runs on the refresher
+        pool; tier query and quantize off-lock, revalidated apply under it)."""
+        keys, slots = self.slotmaps[t].resident()
+        n_res = keys.shape[0]
+        if n_res == 0:
             return 0
-        frac = (
-            self.params.cache_refresh_percentage_per_iteration
-            if fraction is None
-            else fraction
-        )
-        refreshed = 0
-        for t in range(len(self.tables)):
-            keys, slots = self.slotmaps[t].resident()
-            n_res = keys.shape[0]
-            if n_res == 0:
-                continue
-            n = max(int(n_res * frac), 1) if frac < 1.0 else n_res
-            start = getattr(self.tables[t], "_refresh_cursor", 0) % n_res
-            idx = (np.arange(n) + start) % n_res
-            setattr(self.tables[t], "_refresh_cursor", int((start + n) % n_res))
-            vecs, found = self.tier_query(t, keys[idx])
-            if not found.any():
-                continue
-            with self._lock:
-                # Inserts may have reassigned slots while the tier query ran;
-                # only write rows whose key still owns the same slot.
-                cur = self.slotmaps[t].translate(keys[idx], touch=False)
-                ok = found & (cur == slots[idx])
-                if ok.any():
-                    self._write_rows(t, slots[idx][ok], vecs[ok])
-                    refreshed += int(ok.sum())
-        return refreshed
+        n = max(int(n_res * frac), 1) if frac < 1.0 else n_res
+        start = getattr(self.tables[t], "_refresh_cursor", 0) % n_res
+        idx = (np.arange(n) + start) % n_res
+        setattr(self.tables[t], "_refresh_cursor", int((start + n) % n_res))
+        vecs, found = self.tier_query(t, keys[idx])
+        if not found.any():
+            return 0
+        prepared_all = self._prepare_rows(t, vecs[found])
+        with self._lock:
+            # Inserts may have reassigned slots while the tier query ran;
+            # only write rows whose key still owns the same slot.
+            cur = self.slotmaps[t].translate(keys[idx], touch=False)
+            ok = found & (cur == slots[idx])
+            if not ok.any():
+                return 0
+            keep = ok[found]  # mask within the prepared (found-only) rows
+            q, s = prepared_all
+            prepared = (q[keep], None if s is None else s[keep])
+            self._apply_prepared(t, slots[idx][ok], prepared)
+            return int(ok.sum())
+
+    def drain_pending(self, timeout: float = 5.0) -> bool:
+        """Wait until the async-insert queue is empty (tests/shutdown)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            with self._pending_cv:
+                if not self._pending and not getattr(self, "_drain_busy", False):
+                    return True
+            _time.sleep(0.002)
+        return False
 
     def shutdown(self):
-        self._insert_pool.shutdown(wait=False)
+        with self._pending_cv:
+            self._stop_drainer = True
+            self._pending_cv.notify_all()

@@ -101,8 +101,69 @@ def gather_rows_for_groups(
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("meta",))
-def lookup_groups_jit(vals, dscales, slots, scin, meta):
-    """Jitted standalone wrapper (retraces per (shapes, meta) signature —
-    bounded by the bucket grid)."""
+def pack_host_args(slots_l, scin_l):
+    """Pack per-group host arrays into ONE slots array + ONE scales array
+    (+ static bounds). A remote/tunneled device pays per-transfer overhead;
+    two uploads beat ~2 x n_groups. -> (slots_cat, slot_bounds, scin_cat,
+    scin_bounds)."""
+    import numpy as np
+
+    bounds, off = [], 0
+    for a in slots_l:
+        bounds.append((off, off + a.shape[0]))
+        off += a.shape[0]
+    slots_cat = (
+        np.concatenate(slots_l) if slots_l else np.zeros(0, np.int32)
+    )
+    sbounds, off, parts = [], 0, []
+    for s in scin_l:
+        if s is None:
+            sbounds.append(None)
+        else:
+            sbounds.append((off, off + s.shape[0]))
+            off += s.shape[0]
+            parts.append(s)
+    scin_cat = np.concatenate(parts) if parts else None
+    return slots_cat, tuple(bounds), scin_cat, tuple(sbounds)
+
+
+def _unpack_device_args(slots_cat, scin_cat, slot_bounds, scin_bounds):
+    slots = [slots_cat[a:b] for (a, b) in slot_bounds]
+    scin = [
+        None if ab is None else scin_cat[ab[0] : ab[1]] for ab in scin_bounds
+    ]
+    return slots, scin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "slot_bounds", "scin_bounds")
+)
+def lookup_groups_jit(vals, dscales, slots_cat, scin_cat, meta, slot_bounds,
+                      scin_bounds):
+    """Jitted standalone wrapper over packed host inputs (retraces per
+    (shapes, meta) signature — bounded by the bucket grid)."""
+    slots, scin = _unpack_device_args(
+        slots_cat, scin_cat, slot_bounds, scin_bounds
+    )
     return gather_rows_for_groups(vals, dscales, slots, scin, meta)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "slot_bounds", "scin_bounds", "slices")
+)
+def lookup_flat_jit(vals, dscales, slots_cat, scin_cat, meta, slot_bounds,
+                    scin_bounds, slices):
+    """One program: group lookups + per-table slice + flatten into a single
+    f32 vector (table-major, the OUTPUT0 wire layout). With the packed
+    inputs this is TWO uploads, one dispatch and one fetch per request —
+    the serving hot path. ``slices[t]`` is the static (group, start, count)
+    of table t's rows."""
+    slots, scin = _unpack_device_args(
+        slots_cat, scin_cat, slot_bounds, scin_bounds
+    )
+    gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
+    parts = [
+        gouts[g][start : start + count].reshape(-1)
+        for (g, start, count) in slices
+    ]
+    return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)

@@ -69,6 +69,21 @@ class LookupSession:
     def lookup_numpy(self, keys_per_table, num_keys_per_table=None) -> list[np.ndarray]:
         return [np.asarray(o) for o in self.lookup(keys_per_table, num_keys_per_table)]
 
+    def lookup_flat(self, keys_per_table, num_keys_per_table=None) -> jax.Array:
+        """Single flat f32 OUTPUT0 vector (table-major) in one compiled
+        program + one transfer — the serving frontend's hot path."""
+        if len(keys_per_table) != self.cache.num_tables:
+            raise ValueError(
+                f"got {len(keys_per_table)} key arrays for "
+                f"{self.cache.num_tables} tables"
+            )
+        if num_keys_per_table is not None:
+            keys_per_table = [
+                np.asarray(k).reshape(-1)[: int(n)]
+                for k, n in zip(keys_per_table, num_keys_per_table)
+            ]
+        return self.cache.lookup_flat(keys_per_table)
+
     # ---------------------------------------------------------- wire format
 
     def split_request(self, flat_keys: np.ndarray, num_keys: np.ndarray):

@@ -99,6 +99,15 @@ class HierParameterServer:
             self.update_consumer = UpdateConsumer(
                 source, self._apply_update_by_tag, config.update_source
             ).start()
+        # Async tier-promotion pool: SSD-hit write-backs into DRAM and
+        # explicit prefetches run off the request thread (reference
+        # worker/refresher buffer pools, doc:217-238; BASELINE config 5
+        # "async prefetch").
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._prefetch_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="hps-prefetch"
+        )
         # caches[model_name][device_id] -> EmbeddingCache
         self._caches: dict[str, dict[int, EmbeddingCache]] = {}
         # Raw (keys, vectors) kept per table while tiers don't cover them:
@@ -273,9 +282,34 @@ class HierParameterServer:
             vecs[hit2] = v2[f2]
             found[hit2] = True
             if self.config.volatile_db.cache_missed_embeddings and hit2.size:
-                # Optional write-back of SSD hits into DRAM (doc:488-512).
-                self.dram.insert(tag, keys[hit2], vecs[hit2])
+                # Optional write-back of SSD hits into DRAM (doc:488-512),
+                # asynchronously — the requester already has its rows.
+                self._prefetch_pool.submit(
+                    self.dram.insert, tag, keys[hit2].copy(), vecs[hit2].copy()
+                )
         return vecs, found
+
+    def prefetch(self, model_name: str, table_idx: int, keys: np.ndarray) -> None:
+        """Asynchronously promote ``keys`` from the SSD tier into DRAM (the
+        BASELINE config-5 "async prefetch" hook for terabyte-scale tables:
+        callers warm the DRAM tier ahead of expected traffic without
+        touching request latency)."""
+        if self.ssd is None:
+            return
+        params = self.get_model_params(model_name)
+        tag = table_tag(model_name, params.table_name(table_idx))
+        keys = np.asarray(keys, np.int64).copy()
+
+        def _promote():
+            _, have = self.dram.query(tag, keys)
+            want = keys[~have]
+            if want.size == 0:
+                return
+            vecs, found = self.ssd.query(tag, want)
+            if found.any():
+                self.dram.insert(tag, want[found], vecs[found])
+
+        self._prefetch_pool.submit(_promote)
 
     def get_embedding_cache(self, model_name: str, device_id: int) -> EmbeddingCache:
         """Reference model_state.cpp:411."""
@@ -330,6 +364,7 @@ class HierParameterServer:
     def shutdown(self):
         if self.update_consumer is not None:
             self.update_consumer.stop()
+        self._prefetch_pool.shutdown(wait=False)
 
     def apply_updates(self, model_name: str, table_idx: int,
                       keys: np.ndarray, vectors: np.ndarray) -> None:

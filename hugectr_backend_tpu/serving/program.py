@@ -101,13 +101,20 @@ class FusedMultiTableServer:
         )
 
         from hugectr_backend_tpu.cache.lookup_program import (
+            _unpack_device_args,
             gather_rows_for_groups,
         )
 
         @functools.partial(
-            jax.jit, static_argnames=("batch", "meta", "slices")
+            jax.jit,
+            static_argnames=("batch", "meta", "slot_bounds", "scin_bounds",
+                             "slices"),
         )
-        def fwd(vals, dscales, slots, scin, dense, batch: int, meta, slices):
+        def fwd(vals, dscales, slots_cat, scin_cat, dense, batch: int, meta,
+                slot_bounds, scin_bounds, slices):
+            slots, scin = _unpack_device_args(
+                slots_cat, scin_cat, slot_bounds, scin_bounds
+            )
             gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
             embs = [
                 gouts[g][start : start + cnt].reshape(batch, k, d)
@@ -139,6 +146,8 @@ class FusedMultiTableServer:
             vals, dscales, slots, scin, meta, table_pos = cache.prepare_lookup(
                 counts, local_slots
             )
+        from hugectr_backend_tpu.cache.lookup_program import pack_host_args
+
         slices = tuple(
             (
                 table_pos[t][0],
@@ -149,14 +158,17 @@ class FusedMultiTableServer:
             )
             for t in range(len(cache.tables))
         )
+        slots_cat, sb, scin_cat, cb = pack_host_args(slots, scin)
         return self._fwd(
             vals,
             dscales,
-            [jnp.asarray(a) for a in slots],
-            [None if s is None else jnp.asarray(s) for s in scin],
+            jnp.asarray(slots_cat),
+            None if scin_cat is None else jnp.asarray(scin_cat),
             jnp.asarray(dense),
             batch=b,
             meta=meta,
+            slot_bounds=sb,
+            scin_bounds=cb,
             slices=slices,
         )
 

@@ -1,0 +1,221 @@
+"""In-process Kafka-v0 mini broker (single node, single partition/topic).
+
+Speaks the same protocol subset as update/kafka_lite.py — Produce(0),
+Fetch(1), ListOffsets(2), Metadata(3), all v0 with MessageSet v0 framing —
+so the ``kafka_message_queue`` transport can be integration-tested (and used
+as a lightweight single-host queue) with no external broker. Topics
+auto-create on first produce, logs are in-memory lists, offsets are dense
+per topic.
+
+    broker = MiniKafkaBroker().start()      # broker.port
+    ...
+    broker.stop()
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Optional
+
+from hugectr_backend_tpu.update.kafka_lite import (
+    _Reader,
+    _enc_bytes,
+    _enc_str,
+    decode_message_set,
+    encode_message_set,
+)
+
+
+class MiniKafkaBroker:
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host = host
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self.port = self._srv.getsockname()[1]
+        # topic -> list of (key|None, value); offset == list index
+        self.logs: dict[str, list] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._accept_thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- control
+
+    def start(self) -> "MiniKafkaBroker":
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True, name="mini-kafka-accept"
+        )
+        self._accept_thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=2)
+
+    # ------------------------------------------------------------- serving
+
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._serve_conn, args=(conn,), daemon=True,
+                name="mini-kafka-conn",
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _serve_conn(self, conn: socket.socket):
+        try:
+            while not self._stop.is_set():
+                hdr = self._recv_n(conn, 4)
+                if hdr is None:
+                    return
+                (n,) = struct.unpack(">i", hdr)
+                payload = self._recv_n(conn, n)
+                if payload is None:
+                    return
+                resp = self._handle(payload)
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+        except OSError:
+            pass
+        except Exception:  # pragma: no cover - protocol debugging aid
+            from hugectr_backend_tpu.utils.logging import get_logger
+
+            get_logger("hps_tpu.kafka").exception(
+                "mini broker connection handler failed"
+            )
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _recv_n(conn, n) -> Optional[bytes]:
+        buf = bytearray()
+        while len(buf) < n:
+            try:
+                chunk = conn.recv(n - len(buf))
+            except OSError:
+                return None
+            if not chunk:
+                return None
+            buf += chunk
+        return bytes(buf)
+
+    # ------------------------------------------------------------- handlers
+
+    def _handle(self, payload: bytes) -> bytes:
+        r = _Reader(payload)
+        api = r.i16()
+        version = r.i16()
+        corr = r.i32()
+        r.string()  # client_id
+        if version != 0:
+            raise IOError(f"mini broker speaks v0 only, got v{version}")
+        body = {
+            0: self._produce,
+            1: self._fetch,
+            2: self._list_offsets,
+            3: self._metadata,
+        }[api](r)
+        return struct.pack(">i", corr) + body
+
+    def _metadata(self, r: _Reader) -> bytes:
+        want = [r.string() for _ in range(r.i32())]
+        with self._lock:
+            names = want or sorted(self.logs)
+            out = struct.pack(">i", 1)  # one broker
+            out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(
+                ">i", self.port
+            )
+            out += struct.pack(">i", len(names))
+            for name in names:
+                out += struct.pack(">h", 0) + _enc_str(name)
+                out += struct.pack(">i", 1)  # one partition
+                out += struct.pack(">hii", 0, 0, 0)  # err, id 0, leader 0
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)  # replicas
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)  # isr
+            return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        r.i16()  # acks
+        r.i32()  # timeout
+        out_topics = b""
+        ntopics = r.i32()
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            parts_out = b""
+            for _ in range(nparts):
+                pid = r.i32()
+                ms = r.take(r.i32())
+                msgs = decode_message_set(ms)
+                with self._lock:
+                    log = self.logs.setdefault(topic, [])
+                    base = len(log)
+                    for _off, key, value in msgs:
+                        log.append((key, value))
+                parts_out += struct.pack(">ihq", pid, 0, base)
+            out_topics += _enc_str(topic) + struct.pack(">i", nparts) + parts_out
+        return struct.pack(">i", ntopics) + out_topics
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        ntopics = r.i32()
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                offset = r.i64()
+                max_bytes = r.i32()
+                with self._lock:
+                    log = self.logs.get(topic, [])
+                    hw = len(log)
+                    entries = log[offset : offset + 1000]
+                # Re-encode with REAL offsets.
+                ms = b""
+                for i, (key, value) in enumerate(entries):
+                    one = encode_message_set([(key, value)])
+                    # patch the placeholder -1 offset
+                    ms += struct.pack(">q", offset + i) + one[8:]
+                    if len(ms) >= max_bytes:
+                        break
+                out += struct.pack(">ihq", pid, 0, hw) + _enc_bytes(ms)
+        return out
+
+    def _list_offsets(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        ntopics = r.i32()
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                time_ms = r.i64()
+                r.i32()  # max offsets
+                with self._lock:
+                    log = self.logs.get(topic, [])
+                    off = 0 if time_ms == -2 else len(log)
+                out += struct.pack(">ih", pid, 0)
+                out += struct.pack(">i", 1) + struct.pack(">q", off)
+        return out

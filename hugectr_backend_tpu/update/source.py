@@ -151,10 +151,11 @@ def make_update_source(params: UpdateSourceParams, root: Optional[str] = None):
     if params.type == UpdateSourceType.FILE_QUEUE:
         return FileQueueSource(root or params.brokers)
     if params.type == UpdateSourceType.KAFKA_MESSAGE_QUEUE:
-        raise NotImplementedError(
-            "kafka_message_queue requires a Kafka client, which is not in "
-            "this image; use type='file_queue' (same Producer/Source API) or "
-            "bridge Kafka to a file queue externally."
+        from hugectr_backend_tpu.update.kafka_lite import KafkaQueueSource
+
+        return KafkaQueueSource(
+            params.brokers,
+            receive_buffer_size=max(params.receive_buffer_size, 1 << 16),
         )
     raise ValueError(f"unknown update source {params.type}")
 
