@@ -126,20 +126,30 @@ def e2e_serving_stage():
         stop = threading.Event()
 
         def post(keys, per_table, timeout=300):
+            # Binary-tensor protocol in AND out (what perf_analyzer uses):
+            # JSON-encoding the 200k-float output dominates latency.
             import json as _json
 
-            req = _json.dumps({
+            kraw = np.ascontiguousarray(keys, "<i8").tobytes()
+            nraw = np.asarray([per_table] * n_t, "<i4").tobytes()
+            header = _json.dumps({
                 "inputs": [
                     {"name": "KEYS", "datatype": "INT64",
-                     "shape": [keys.shape[0]], "data": keys.tolist()},
-                    {"name": "NUMKEYS", "datatype": "INT32",
-                     "shape": [n_t], "data": [per_table] * n_t},
-                ]
+                     "shape": [keys.shape[0]],
+                     "parameters": {"binary_data_size": len(kraw)}},
+                    {"name": "NUMKEYS", "datatype": "INT32", "shape": [n_t],
+                     "parameters": {"binary_data_size": len(nraw)}},
+                ],
+                "outputs": [
+                    {"name": "OUTPUT0", "parameters": {"binary_data": True}}
+                ],
             }).encode()
             r = urllib.request.urlopen(urllib.request.Request(
-                url, data=req,
-                headers={"Content-Type": "application/json"}),
-                timeout=timeout)
+                url, data=header + kraw + nraw,
+                headers={
+                    "Content-Type": "application/octet-stream",
+                    "Inference-Header-Content-Length": str(len(header)),
+                }), timeout=timeout)
             r.read()
 
         # Warm the compiled-signature grid: the batcher pow2-pads merged
@@ -185,7 +195,7 @@ def e2e_serving_stage():
             "e2e_concurrency": conc,
             "e2e_p50_ms": round(float(ls[n // 2]) * 1e3, 2),
             "e2e_p99_ms": round(float(ls[min(int(n * 0.99), n - 1)]) * 1e3, 2),
-            "e2e_note": f"{n_t}-table lookup via HTTP json; tunnel adds ~26ms "
+            "e2e_note": f"{n_t}-table lookup via HTTP binary tensors; tunnel adds ~26ms "
                         "RTT per device execution on this dev setup",
         }
     finally:

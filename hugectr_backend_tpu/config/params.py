@@ -417,7 +417,14 @@ class InferenceParams:
       - ``use_cuda_graph`` -> programs are jit-compiled & cached (always done).
       - ``fp8_quant`` selects FP8 (e4m3) row quantization instead of INT8
         (reference backend.cpp:500-504).
-      - ``enable_pagelock`` -> pinned host staging buffers for H2D transfers.
+      - ``use_mixed_precision`` -> the fused dense forward's matmuls run in
+        bf16 on the MXU with f32 params (serving/program.py), the TPU
+        analogue of the reference's FP16 dense path.
+      - ``scaler`` is ACCEPTED BUT INERT: it is the reference's training
+        loss-scale for mixed precision; inference has no loss to scale.
+      - ``enable_pagelock`` is ACCEPTED BUT INERT: JAX/TPU host transfers
+        already stage through runtime-managed pinned buffers, so there is
+        no user-level pagelock toggle to wire.
     """
 
     model_name: str = ""

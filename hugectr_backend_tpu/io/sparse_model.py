@@ -16,10 +16,13 @@ deployments) adds:
         emb_vector.scale   : float32 per-row scale (rows)
         quant_meta.json    : {"format": "int8-rowwise"|"fp8e4m3-rowwise", "dim": D}
 
-Remote-FS prefixes (hdfs://, s3://, gs://) are recognized and rejected with a
-clear error rather than silently mangled (the reference supports them via its
-FileSystem layer, docs/hierarchical_parameter_server.md:189; local + NFS paths
-cover this build's test surface).
+Remote-FS prefixes (hdfs://, s3://, gs://, http(s)://) delegate to a
+pluggable fetcher registry (the reference supports them via its FileSystem
+layer, docs/hierarchical_parameter_server.md:189): register a
+``scheme -> fetch(uri) -> local_path`` callable via
+:func:`register_remote_fetcher`, or install ``fsspec`` (+ the scheme's
+driver) and the default fetcher stages the directory to a local cache.
+Without either, remote URIs raise an actionable error.
 """
 
 from __future__ import annotations
@@ -32,6 +35,53 @@ from pathlib import Path
 import numpy as np
 
 _REMOTE_PREFIXES = ("hdfs://", "s3://", "gs://", "https://", "http://")
+
+# scheme (e.g. "s3") -> callable(uri: str) -> local directory path.
+# Deployments plug their staging logic here; the default tries fsspec.
+REMOTE_FETCHERS: dict = {}
+
+
+def register_remote_fetcher(scheme: str, fetch) -> None:
+    """Register a remote-FS fetcher: ``fetch(uri) -> local_path`` stages the
+    sparse-model directory locally (mirror of the reference's FileSystem
+    layer, doc:189)."""
+    REMOTE_FETCHERS[scheme.lower()] = fetch
+
+
+def _fsspec_fetch(uri: str) -> str:
+    """Default fetcher: stage a remote sparse-model dir via fsspec."""
+    import hashlib
+    import tempfile
+
+    try:
+        import fsspec
+    except ImportError as e:
+        raise NotImplementedError(
+            f"Remote path {uri!r}: no fetcher registered for its scheme and "
+            "fsspec is not installed. Either stage the files to a local "
+            "path, pip-install fsspec + the scheme's driver, or register a "
+            "fetcher via hugectr_backend_tpu.io.sparse_model."
+            "register_remote_fetcher(scheme, fetch_fn)."
+        ) from e
+    dest = Path(tempfile.gettempdir()) / (
+        "hps_sparse_" + hashlib.sha1(uri.encode()).hexdigest()[:16]
+    )
+    if not dest.exists():
+        try:
+            fs, _, (path,) = fsspec.get_fs_token_paths(uri)
+            tmp = dest.with_suffix(".staging")
+            tmp.mkdir(parents=True, exist_ok=True)
+            fs.get(path, str(tmp), recursive=True)
+            os.replace(tmp, dest)
+        except Exception as e:
+            raise NotImplementedError(
+                f"Remote path {uri!r}: staging via fsspec failed ({e!r}). "
+                "Stage the files to a local path, install/configure the "
+                "scheme's fsspec driver, or register a fetcher via "
+                "hugectr_backend_tpu.io.sparse_model."
+                "register_remote_fetcher(scheme, fetch_fn)."
+            ) from e
+    return str(dest)
 
 
 @dataclasses.dataclass
@@ -54,10 +104,9 @@ def _check_local(path: str | os.PathLike) -> Path:
     s = str(path)
     for p in _REMOTE_PREFIXES:
         if s.startswith(p):
-            raise NotImplementedError(
-                f"Remote filesystem path {s!r} is not supported in this build; "
-                "stage the sparse model to a local path first."
-            )
+            scheme = s.split("://", 1)[0].lower()
+            fetch = REMOTE_FETCHERS.get(scheme, _fsspec_fetch)
+            return Path(fetch(s))
     return Path(s)
 
 

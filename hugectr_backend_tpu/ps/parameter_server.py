@@ -161,6 +161,12 @@ class HierParameterServer:
         (reference model_state.cpp:132,389)."""
         self.config.models[params.model_name] = params
         init_rate = self.config.volatile_db.initial_cache_rate
+        # UVM flavor: the FULL table is pinned in host DRAM regardless of
+        # initial_cache_rate (reference backend.cpp:483-491 UVM = table in
+        # unified/host memory; misses must never fall to SSD in steady
+        # state).
+        if params.embedding_cache_type == EmbeddingCacheType.UVM:
+            init_rate = 1.0
         for t, path in enumerate(params.sparse_files):
             tag = table_tag(params.model_name, params.table_name(t))
             dim = params.embedding_vecsize_per_table[t]
@@ -258,6 +264,14 @@ class HierParameterServer:
         )
         if params.embedding_cache_type == EmbeddingCacheType.STATIC:
             return EmbeddingCache(params, tables, device=device, tier_query=tier_query)
+        if params.embedding_cache_type == EmbeddingCacheType.UVM:
+            from hugectr_backend_tpu.cache.embedding_cache import (
+                UvmEmbeddingCache,
+            )
+
+            return UvmEmbeddingCache(
+                params, tables, device=device, tier_query=tier_query
+            )
         from hugectr_backend_tpu.cache.embedding_cache import DynamicEmbeddingCache
 
         return DynamicEmbeddingCache(
@@ -274,10 +288,18 @@ class HierParameterServer:
     def _query_tiers(self, tag: str, keys: np.ndarray):
         """Cascade DRAM -> SSD (reference VDB -> PDB fallback,
         docs/hierarchical_parameter_server.md:40-43)."""
+        from hugectr_backend_tpu.serving import metrics
+
         vecs, found = self.dram.query(tag, keys)
+        n_dram_hit = int(found.sum())
+        metrics.TIER_HIT.inc(n_dram_hit, tier="dram")
+        metrics.TIER_MISS.inc(keys.shape[0] - n_dram_hit, tier="dram")
         if self.ssd is not None and not found.all():
             missing = np.flatnonzero(~found)
             v2, f2 = self.ssd.query(tag, keys[missing])
+            n_ssd_hit = int(f2.sum())
+            metrics.TIER_HIT.inc(n_ssd_hit, tier="ssd")
+            metrics.TIER_MISS.inc(missing.size - n_ssd_hit, tier="ssd")
             hit2 = missing[f2]
             vecs[hit2] = v2[f2]
             found[hit2] = True

@@ -31,6 +31,16 @@ class Counter:
         with self._lock:
             self._values[tuple(sorted(labels.items()))] += value
 
+    def value(self, **labels) -> float:
+        """Public read accessor for one label set."""
+        with self._lock:
+            return self._values.get(tuple(sorted(labels.items())), 0.0)
+
+    def values(self) -> dict[tuple, float]:
+        """Public snapshot of every (labels) -> value pair."""
+        with self._lock:
+            return dict(self._values)
+
     def render(self) -> Iterable[str]:
         yield f"# HELP {self.name} {self.help}"
         yield f"# TYPE {self.name} counter"
@@ -168,4 +178,10 @@ CACHE_HIT_RATE = REGISTRY.gauge(
 )
 PENDING_REQUESTS = REGISTRY.gauge(
     "hps_pending_requests", "Requests waiting in the scheduler queue"
+)
+TIER_HIT = REGISTRY.counter(
+    "hps_tier_hit", "Key lookups served by a storage tier (tier=dram|ssd)"
+)
+TIER_MISS = REGISTRY.counter(
+    "hps_tier_miss", "Key lookups missing from a storage tier (tier=dram|ssd)"
 )

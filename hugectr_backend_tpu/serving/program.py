@@ -105,6 +105,13 @@ class FusedMultiTableServer:
             gather_rows_for_groups,
         )
 
+        # use_mixed_precision (reference InferenceParams, backend.cpp:390-517):
+        # run the dense forward's matmuls in bf16 on the MXU while params
+        # stay f32 — the TPU translation of the reference's FP16 dense path.
+        # (``scaler`` is a TRAINING loss-scale knob; accepted and inert for
+        # inference, see config/params.py.)
+        mp = bool(getattr(params, "use_mixed_precision", False))
+
         @functools.partial(
             jax.jit,
             static_argnames=("batch", "meta", "slot_bounds", "scin_bounds",
@@ -120,6 +127,9 @@ class FusedMultiTableServer:
                 gouts[g][start : start + cnt].reshape(batch, k, d)
                 for (g, start, cnt, k, d) in slices
             ]
+            if mp:
+                with jax.default_matmul_precision("bfloat16"):
+                    return assemble_fn(dense, embs)
             return assemble_fn(dense, embs)
 
         self._fwd = fwd

@@ -109,14 +109,14 @@ class _Handler(BaseHTTPRequestHandler):
                         "model_stats": [
                             {
                                 "name": name,
-                                "inference_count": metrics.REQUEST_COUNT._values.get(
-                                    (("model", name),), 0
+                                "inference_count": metrics.REQUEST_COUNT.value(
+                                    model=name
                                 ),
-                                "failure_count": metrics.REQUEST_FAIL._values.get(
-                                    (("model", name),), 0
+                                "failure_count": metrics.REQUEST_FAIL.value(
+                                    model=name
                                 ),
-                                "samples": metrics.SAMPLES_COUNT._values.get(
-                                    (("model", name),), 0
+                                "samples": metrics.SAMPLES_COUNT.value(
+                                    model=name
                                 ),
                                 "latency_p50_s": metrics.REQUEST_LATENCY.percentile(
                                     0.5, model=name

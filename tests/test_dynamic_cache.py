@@ -142,3 +142,91 @@ def test_stochastic_cache_samples_inserts(tmp_path):
     # Lookups stay exact regardless of what was inserted.
     out = sess.lookup_numpy([cold[:50]])[0]
     np.testing.assert_allclose(out, expected_vector(cold[:50], 4), rtol=1e-6)
+
+
+# ------------------------------------------------------------------- UVM
+
+def _make_ps(tmp_path, cache_type, tbl, init_rate=0.1):
+    write_sparse_model(tmp_path / f"t_{cache_type}", tbl.keys, tbl.vectors)
+    from hugectr_backend_tpu import HierParameterServer
+
+    return HierParameterServer.create(
+        {
+            "volatile_db": {"type": "hash_map", "initial_cache_rate": init_rate},
+            "persistent_db": {"type": "rocks_db",
+                              "path": str(tmp_path / f"ssd_{cache_type}")},
+            "models": [
+                {
+                    "model": "u",
+                    "sparse_files": [str(tmp_path / f"t_{cache_type}")],
+                    "embedding_vecsize_per_table": [8],
+                    "maxnum_catfeature_query_per_table_per_sample": [4],
+                    "gpucacheper": 0.25,
+                    "embedding_cache_type": cache_type,
+                    "hit_rate_threshold": 0.0,  # dynamic would insert async
+                    "quant_bits": 32,
+                }
+            ],
+        }
+    )
+
+
+def test_uvm_distinct_from_dynamic(tmp_path):
+    """UVM semantics (reference backend.cpp:483-491, r1 missing #5):
+    (a) the FULL table is pinned in DRAM regardless of initial_cache_rate;
+    (b) HBM misses do NOT insert inline — admission happens on refresh."""
+    from hugectr_backend_tpu.cache.embedding_cache import (
+        DynamicEmbeddingCache,
+        UvmEmbeddingCache,
+    )
+    from hugectr_backend_tpu.io.synthetic import make_synthetic_table
+    from hugectr_backend_tpu.tiers.base import table_tag
+
+    tbl = make_synthetic_table(1000, 8, seed=55)
+
+    ps_uvm = _make_ps(tmp_path, "uvm", tbl)
+    ps_dyn = _make_ps(tmp_path, "dynamic", tbl)
+    try:
+        cache_u = ps_uvm.get_embedding_cache("u", 0)
+        cache_d = ps_dyn.get_embedding_cache("u", 0)
+        assert isinstance(cache_u, UvmEmbeddingCache)
+        assert isinstance(cache_d, DynamicEmbeddingCache)
+        assert not isinstance(cache_d, UvmEmbeddingCache)
+
+        # (a) full-DRAM pin for UVM; dynamic honors initial_cache_rate=0.1.
+        tag = table_tag("u", "sparse_embedding0")
+        _, found_u = ps_uvm.dram.query(tag, tbl.keys)
+        _, found_d = ps_dyn.dram.query(tag, tbl.keys)
+        assert found_u.all(), "UVM must pin the whole table in DRAM"
+        assert found_d.sum() < tbl.keys.shape[0]
+
+        # (b) miss handling: look up keys OUTSIDE the HBM resident set.
+        resident_u, _ = cache_u.slotmaps[0].resident()
+        non_res = np.setdiff1d(tbl.keys, resident_u)[:16]
+        out_u = np.asarray(cache_u.lookup([non_res])[0])
+        want = expected_vector(non_res, 8)
+        np.testing.assert_allclose(out_u, want, atol=1e-5)  # served from DRAM
+
+        # UVM: still not resident (no inline insert), admission is pending.
+        assert cache_u.pending_admissions(0) > 0
+        cur = cache_u.slotmaps[0].translate(non_res, touch=False)
+        assert (cur == cache_u.tables[0].index.miss_slot).any()
+
+        # Dynamic: the same lookup inserts (sync at threshold 0.0 it's
+        # async; drain first).
+        resident_d, _ = cache_d.slotmaps[0].resident()
+        non_res_d = np.setdiff1d(tbl.keys, resident_d)[:16]
+        cache_d.lookup([non_res_d])
+        assert cache_d.drain_pending(timeout=10)
+        cur_d = cache_d.slotmaps[0].translate(non_res_d, touch=False)
+        assert (cur_d != cache_d.tables[0].index.miss_slot).all()
+
+        # After refresh, UVM admits the hot missed keys.
+        cache_u.refresh(fraction=1.0)
+        cur2 = cache_u.slotmaps[0].translate(non_res, touch=False)
+        assert (cur2 != cache_u.tables[0].index.miss_slot).all()
+        out2 = np.asarray(cache_u.lookup([non_res])[0])
+        np.testing.assert_allclose(out2, want, atol=1e-5)
+    finally:
+        ps_uvm.shutdown()
+        ps_dyn.shutdown()

@@ -51,9 +51,37 @@ def test_dim_inference_mismatch(tmp_path):
         read_sparse_model(tmp_path / "t", embedding_dim=7)
 
 
-def test_remote_path_rejected():
-    with pytest.raises(NotImplementedError):
+def test_remote_path_without_fetcher_raises():
+    # No hdfs fetcher registered and no fsspec in the image -> actionable
+    # error naming the plug point.
+    with pytest.raises(NotImplementedError, match="register_remote_fetcher"):
         read_sparse_model("hdfs://nn/path/table")
+
+
+def test_remote_path_pluggable_fetcher(tmp_path):
+    """Remote URIs delegate to a registered scheme fetcher (the reference's
+    FileSystem layer, doc:189)."""
+    from hugectr_backend_tpu.io.sparse_model import (
+        REMOTE_FETCHERS,
+        register_remote_fetcher,
+        write_sparse_model,
+    )
+
+    tbl = make_synthetic_table(40, 4, seed=3)
+    write_sparse_model(tmp_path / "staged", tbl.keys, tbl.vectors)
+    seen = []
+
+    def fetch(uri):
+        seen.append(uri)
+        return str(tmp_path / "staged")
+
+    register_remote_fetcher("s3", fetch)
+    try:
+        got = read_sparse_model("s3://bucket/models/table", embedding_dim=4)
+        assert seen == ["s3://bucket/models/table"]
+        np.testing.assert_array_equal(np.sort(got.keys), np.sort(tbl.keys))
+    finally:
+        REMOTE_FETCHERS.pop("s3", None)
 
 
 def test_synthetic_table_deterministic():
