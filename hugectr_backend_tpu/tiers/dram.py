@@ -249,15 +249,30 @@ def make_dram_tier(params: Optional[VolatileDatabaseParams] = None) -> KVTier:
 
         return SharedMemoryDramKVTier(params)
     if params is not None and params.type == DatabaseType.REDIS_CLUSTER:
-        # The reference reaches a Redis cluster for cross-host CAPACITY
-        # (doc:423-458). On TPU pods that role is played by tables sharded
-        # across pod HBM (parallel/sharded_table.py); the volatile tier
-        # itself stays host-local.
-        log.warning(
-            "volatile_db type redis_cluster: serving cross-host capacity via "
-            "sharded HBM tables; using the local DRAM store for this tier "
-            "(address/password/TLS settings ignored)"
-        )
+        # The reference pools the RAM of a Redis cluster for cross-host
+        # volatile capacity (doc:423-458). The TPU-native equivalent is the
+        # TCP-sharded DRAM pool (tiers/cluster.py): one node server per
+        # host, keys partitioned by low bits exactly like the reference.
+        from hugectr_backend_tpu.tiers.cluster import ClusterKVTier
+
+        addrs = [a for a in params.address.split(",") if a.strip()]
+        try:
+            tier = ClusterKVTier(addrs, max_batch_size=params.max_batch_size)
+            tier.ping()
+            log.info(
+                "volatile_db redis_cluster: pooled DRAM tier across %d "
+                "node(s) at %s", len(addrs), params.address,
+            )
+            return tier
+        except OSError as e:
+            # Reference resilience posture: fall back rather than fail the
+            # server (its persistent-DB full copy covers a Redis outage,
+            # doc:43).
+            log.warning(
+                "volatile_db redis_cluster: cannot reach pool nodes at %s "
+                "(%s); falling back to the local DRAM store",
+                params.address, e,
+            )
     try:
         from hugectr_backend_tpu.native.kvstore import NativeDramKVTier
 
