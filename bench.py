@@ -109,7 +109,7 @@ def e2e_serving_stage():
             "gpucacheper": 1.0,
         }],
     }
-    server = serve(ps_source=cfg, port=0, block=False)
+    server = serve(ps_source=cfg, port=0, block=False, grpc_port=0)
     try:
         url = f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer"
         batch = 8 if smoke else 64
@@ -188,7 +188,76 @@ def e2e_serving_stage():
             ls = np.sort(np.asarray(lat))
         if n == 0:
             return {"e2e_error": "no completed requests"}
+
+        # ---- gRPC leg (perf_analyzer -i grpc parity) --------------------
+        grpc_extra = {}
+        try:
+            import grpc as grpc_mod
+
+            from hugectr_backend_tpu.serving import kserve_pb
+
+            pb2 = kserve_pb.load()
+            glat, glock = [], threading.Lock()
+            gstop = threading.Event()
+
+            def gclient(cid):
+                channel = grpc_mod.insecure_channel(
+                    f"127.0.0.1:{server.grpc.port}")
+                infer = channel.unary_unary(
+                    f"/{kserve_pb.SERVICE_NAME}/ModelInfer",
+                    request_serializer=lambda m: m.SerializeToString(),
+                    response_deserializer=pb2.ModelInferResponse.FromString,
+                )
+                i = cid
+                while not gstop.is_set():
+                    keys = keys_np[i % len(keys_np)]
+                    i += 1
+                    req = pb2.ModelInferRequest(model_name="dlrm")
+                    ki = req.inputs.add()
+                    ki.name, ki.datatype = "KEYS", "INT64"
+                    ki.shape.append(keys.shape[0])
+                    ni = req.inputs.add()
+                    ni.name, ni.datatype = "NUMKEYS", "INT32"
+                    ni.shape.append(n_t)
+                    req.raw_input_contents.append(
+                        np.ascontiguousarray(keys, "<i8").tobytes())
+                    req.raw_input_contents.append(
+                        np.asarray([batch] * n_t, "<i4").tobytes())
+                    t0 = time.perf_counter()
+                    try:
+                        infer(req, timeout=60)
+                        with glock:
+                            glat.append(time.perf_counter() - t0)
+                    except Exception:
+                        pass
+                channel.close()
+
+            gthreads = [threading.Thread(target=gclient, args=(c,),
+                                         daemon=True) for c in range(conc)]
+            gt0 = time.perf_counter()
+            for th in gthreads:
+                th.start()
+            time.sleep(duration)
+            gstop.set()
+            for th in gthreads:
+                th.join(timeout=30)
+            gwall = time.perf_counter() - gt0
+            with glock:
+                gn = len(glat)
+                gls = np.sort(np.asarray(glat))
+            if gn:
+                grpc_extra = {
+                    "e2e_grpc_qps": round(gn / gwall, 1),
+                    "e2e_grpc_samples_per_s": round(gn * batch / gwall, 1),
+                    "e2e_grpc_p50_ms": round(float(gls[gn // 2]) * 1e3, 2),
+                    "e2e_grpc_p99_ms": round(
+                        float(gls[min(int(gn * 0.99), gn - 1)]) * 1e3, 2),
+                }
+        except Exception as e:
+            grpc_extra = {"e2e_grpc_error": repr(e)}
+
         return {
+            **grpc_extra,
             "e2e_http_qps": round(n / wall, 1),
             "e2e_http_samples_per_s": round(n * batch / wall, 1),
             "e2e_batch": batch,
@@ -200,6 +269,58 @@ def e2e_serving_stage():
         }
     finally:
         server.stop()
+
+
+def tier_latency_stage():
+    """BASELINE config 5 (host half): bulk-read latency of the DRAM and SSD
+    tiers for a 4096-key batch — the reference's latency table rows "CPU
+    memory database: us ~ ms" / "persistent database: ms ~ s"
+    (reference README.md:193). Host-only; no device involved."""
+    import tempfile
+
+    from hugectr_backend_tpu.tiers.dram import make_dram_tier
+    from hugectr_backend_tpu.tiers.ssd import SsdKVTier
+    from hugectr_backend_tpu.config.params import PersistentDatabaseParams
+
+    smoke = bool(os.environ.get("HPS_BENCH_SMOKE"))
+    rows, dim, nq = (50_000, 32, 512) if smoke else (2_000_000, 32, 4096)
+    ssd_rows = 20_000 if smoke else 300_000
+    rng = np.random.default_rng(0)
+
+    dram = make_dram_tier()
+    dram.create_table("hps_et.bench.t", dim)
+    keys = rng.choice(np.int64(1) << 40, size=rows, replace=False)
+    vecs = rng.standard_normal((rows, dim)).astype(np.float32)
+    for i in range(0, rows, 250_000):
+        dram.insert("hps_et.bench.t", keys[i:i + 250_000], vecs[i:i + 250_000])
+    qk = keys[rng.integers(0, rows, nq)]
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dram.query("hps_et.bench.t", qk)
+        best = min(best, time.perf_counter() - t0)
+    dram_us = best * 1e6
+
+    tmp = tempfile.mkdtemp(prefix="hps_bench_ssd_")
+    ssd = SsdKVTier(PersistentDatabaseParams(path=tmp))
+    ssd.create_table("hps_et.bench.s", dim)
+    for i in range(0, ssd_rows, 100_000):
+        ssd.insert("hps_et.bench.s", keys[i:i + 100_000], vecs[i:i + 100_000])
+    qs = keys[rng.integers(0, ssd_rows, nq)]
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ssd.query("hps_et.bench.s", qs)
+        best = min(best, time.perf_counter() - t0)
+    ssd_us = best * 1e6
+    ssd.close()
+    return {
+        "dram_tier_query_us": round(dram_us, 1),
+        "dram_tier_ns_per_key": round(dram_us * 1e3 / nq, 1),
+        "ssd_tier_query_us": round(ssd_us, 1),
+        "ssd_tier_ns_per_key": round(ssd_us * 1e3 / nq, 1),
+        "tier_query_keys": nq,
+    }
 
 
 def host_scale(i):
@@ -295,7 +416,8 @@ def main():
         ]
         return oh_rows, ar_rows, big_rows
 
-    def make_run(batch, iters, e2e_model=None, e2e_params=None, dense0=None):
+    def make_run(batch, iters, e2e_model=None, e2e_params=None, dense0=None,
+                 mixed=False):
         oh_b, oh_m = bases_mods(oh_cards, oh_off, batch)
         ar_b, ar_m = bases_mods(ar_cards, ar_off, batch)
 
@@ -320,7 +442,14 @@ def main():
                     for j, t in enumerate(big_idx):
                         embs[t] = big_rows[j]
                     emb = jnp.stack(embs, axis=1)  # [B, 26, D]
-                    logits = e2e_model.apply(mp, dense, emb)
+                    if mixed:
+                        # the production use_mixed_precision knob
+                        # (serving/program.py): dense matmuls in bf16 on the
+                        # MXU, params stay f32.
+                        with jax.default_matmul_precision("bfloat16"):
+                            logits = e2e_model.apply(mp, dense, emb)
+                    else:
+                        logits = e2e_model.apply(mp, dense, emb)
                     tot = logits.sum()
                     bump = tot.astype(jnp.int32)
                 n_oh = (oh_sl - oh_b + oh_rows.sum(axis=1).astype(jnp.int32)
@@ -352,14 +481,14 @@ def main():
                 [jnp.asarray(s.astype(np.int32)) for s in big_np],
                 oh_sc, big_sc)
 
-    def slope_us(batch, e2e=None):
+    def slope_us(batch, e2e=None, mixed=False):
         """Device us/batch via the two-scan-length slope (RTT-free)."""
         model, mp, dense = (None, None, None)
         if e2e is not None:
             model, mp, dense = e2e
         totals = {}
         for iters in (IT_LO, IT_HI):
-            run = make_run(batch, iters, model, mp, dense)
+            run = make_run(batch, iters, model, mp, dense, mixed)
             a = args_for(0, batch)
             float(run(oh_vals, ar_vals, ar_scales, big_vals, mp, dense, *a))
             best = float("inf")
@@ -387,6 +516,67 @@ def main():
     dense0 = jnp.asarray(rng.standard_normal((BATCH, 13)), jnp.float32)
     us_e2e = slope_us(BATCH, e2e=(model, params, dense0))
     e2e_qps = BATCH / us_e2e * 1e6
+    us_e2e_bf16 = slope_us(BATCH, e2e=(model, params, dense0), mixed=True)
+    e2e_bf16_qps = BATCH / us_e2e_bf16 * 1e6
+
+    # ---- DIN-style pooled multi-hot lookup (BASELINE config 4) ----------
+    # keys [B, S] zipf, masked mean pooling fused into the gather program
+    # (serving/pooled.py _pooled_gather — the production pooled path).
+    from hugectr_backend_tpu.serving.pooled import _pooled_gather
+
+    smoke = bool(os.environ.get("HPS_BENCH_SMOKE"))
+    din_rows = 20_000 if smoke else 1_000_000
+    din_b, din_s = (64, 8) if smoke else (1024, 64)
+    din_vals, din_scales = gen(din_rows)
+
+    del din_scales  # production solo policy: scales ride host-side
+
+    def make_din(iters):
+        @jax.jit
+        def run(v_, slots0, seq_len, scin):
+            def body(carry, i):
+                sl, acc = carry
+                out = _pooled_gather(v_, None, sl, seq_len, din_b, din_s,
+                                     "mean", scin=scin)
+                bump = out.sum().astype(jnp.int32)
+                nxt = (sl + bump + i + 1) % din_rows
+                return (nxt, acc + out.sum()), None
+            (_, acc), _ = jax.lax.scan(
+                body, (slots0, jnp.float32(0)), jnp.arange(iters))
+            return acc
+        return run
+
+    def din_args(seed):
+        r = np.random.default_rng(seed)
+        slots = (r.zipf(1.05, din_b * din_s) % din_rows).astype(np.int64)
+        seq = r.integers(1, din_s + 1, din_b).astype(np.int32)
+        # Host-side scale fetch (production: during key translation).
+        return (jnp.asarray(slots.astype(np.int32)), jnp.asarray(seq),
+                jnp.asarray(host_scale(slots)))
+
+    din_totals = {}
+    for iters in (IT_LO, IT_HI):
+        run = make_din(iters)
+        float(run(din_vals, *din_args(0)))
+        best = float("inf")
+        for sd in (1, 2, 3):
+            a = din_args(sd)
+            t0 = time.perf_counter()
+            float(run(din_vals, *a))
+            best = min(best, time.perf_counter() - t0)
+        din_totals[iters] = best
+    us_din = (din_totals[IT_HI] - din_totals[IT_LO]) / (IT_HI - IT_LO) * 1e6
+    if us_din <= 0:
+        # Slope noise at smoke scale: fall back to the per-iter average
+        # (upper bound: includes fixed per-execution overhead).
+        us_din = din_totals[IT_HI] / IT_HI * 1e6
+    din_vectors_per_s = din_b * din_s / us_din * 1e6
+    din_samples_per_s = din_b / us_din * 1e6
+
+    try:
+        tier_extra = tier_latency_stage()
+    except Exception as e:
+        tier_extra = {"tier_error": repr(e)}
 
     try:
         e2e_extra = e2e_serving_stage()
@@ -406,6 +596,15 @@ def main():
                 "batch1024_vectors_per_s": round(small_vectors_per_s, 1),
                 "fused_dlrm_e2e_samples_per_s": round(e2e_qps, 1),
                 "fused_dlrm_batch_latency_us": round(us_e2e, 1),
+                "fused_dlrm_bf16_samples_per_s": round(e2e_bf16_qps, 1),
+                "fused_dlrm_bf16_batch_latency_us": round(us_e2e_bf16, 1),
+                "din_pooled_vectors_per_s": round(din_vectors_per_s, 1),
+                "din_pooled_samples_per_s": round(din_samples_per_s, 1),
+                "din_pooled_batch_latency_us": round(us_din, 1),
+                "din_pooled_shape": f"[{din_b}, {din_s}] keys, "
+                                    f"{din_rows}-row int8 table, masked mean,"
+                                    " host-side scales (solo policy)",
+                **tier_extra,
                 "batch": BATCH,
                 "num_tables": n_tables,
                 "layout": f"criteo-kaggle 26 tables x {DIM}d int8+f32 scales: "

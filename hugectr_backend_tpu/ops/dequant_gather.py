@@ -27,9 +27,10 @@ Conclusions encoded in this package:
    that presents as a multi-hour "compile hang" on tunneled TPU setups).
 4. Host-side numpy dedup (np.unique) of 26k keys costs ~4.6 ms — more than
    the gather it saves; dedup belongs in the native C++ key translation.
-5. For very large merged batches (>= ~1M keys) a streaming select
-   (sort + full-table scan at HBM bandwidth + MXU row-select) can beat
-   per-access gathers; planned follow-up.
+5. For very large merged batches (>= ~1M keys per table) a streaming select
+   (sort + full-table scan at HBM bandwidth + MXU row-select) could beat
+   per-access gathers — but serving batch shapes never reach that size, so
+   it is documented rather than built (analysis: ROOFLINE.md section 3.4).
 """
 
 from __future__ import annotations

@@ -31,9 +31,18 @@ from hugectr_backend_tpu.tiers.hbm import gather_dequant_xla
 
 @functools.partial(jax.jit, static_argnames=("batch", "max_len", "mode"))
 def _pooled_gather(values, scales, slots, seq_len, batch: int, max_len: int,
-                   mode: str = "sum"):
-    """slots [B*S] -> pooled [B, D] with masked sum/mean pooling fused in."""
+                   mode: str = "sum", scin=None):
+    """slots [B*S] -> pooled [B, D] with masked sum/mean pooling fused in.
+
+    ``scin`` is the host-gathered per-key dequant scale vector [B*S] — the
+    production "solo" path for big tables (a device scales gather on a large
+    scales array costs ~+14 ns/access on v5e, see ROOFLINE.md; host fetch
+    during key translation is free). Pass ``scales`` for small arenas where
+    the device gather fuses cheaply, never both.
+    """
     flat = gather_dequant_xla(values, scales, slots)  # [B*S, D]
+    if scin is not None:
+        flat = flat * scin[:, None]
     emb = flat.reshape(batch, max_len, flat.shape[-1])
     mask = (
         jnp.arange(max_len)[None, :] < seq_len[:, None]
@@ -64,17 +73,36 @@ def pooled_lookup(
     b, s = keys.shape
     if seq_len is None:
         seq_len = np.full(b, s, np.int32)
-    slots = cache.translate(table_idx, keys.reshape(-1)).astype(np.int32)
-    table = cache.tables[table_idx]
+    slots = cache.translate(table_idx, keys.reshape(-1)).astype(np.int64)
+    vals, dev_scales, slots, scin = resolve_table_operands(
+        cache.tables[table_idx], slots)
     return _pooled_gather(
-        table.values,
-        table.scales,
+        vals,
+        dev_scales,
         jnp.asarray(slots),
         jnp.asarray(np.asarray(seq_len, np.int32)),
         batch=b,
         max_len=s,
         mode=mode,
+        scin=None if scin is None else jnp.asarray(scin),
     )
+
+
+def resolve_table_operands(table, local_slots: np.ndarray):
+    """-> (values, device_scales, slots, host_scales) for one table, using
+    the production access-path policy (ps/parameter_server.py _build_cache):
+    arena members address the WHOLE arena at arena-global slots (no device
+    slice per call), and solo/onehot arenas fetch per-key scales from the
+    host-side copy during translation instead of a device scales gather."""
+    arena = getattr(table, "arena", None)
+    if arena is None:
+        return (table.values, table.scales,
+                local_slots.astype(np.int32), None)
+    gslots = local_slots.astype(np.int64) + table.offset
+    host = getattr(arena, "scales_host", None)
+    if host is not None:
+        return arena.values, None, gslots.astype(np.int32), host[gslots]
+    return arena.values, arena.scales, gslots.astype(np.int32), None
 
 
 class FusedDinServer:
@@ -96,12 +124,15 @@ class FusedDinServer:
         self.max_seq = params.maxnum_catfeature_query_per_table_per_sample[seq_table]
 
         @functools.partial(jax.jit, static_argnames=("batch", "max_len"))
-        def fwd(mp, tv, ts, sv, ss, tslots, sslots, seq_len, dense,
-                batch: int, max_len: int):
+        def fwd(mp, tv, ts, sv, ss, tslots, sslots, tscin, sscin, seq_len,
+                dense, batch: int, max_len: int):
             target = gather_dequant_xla(tv, ts, tslots)  # [B, D]
-            seq = gather_dequant_xla(sv, ss, sslots).reshape(
-                batch, max_len, -1
-            )
+            if tscin is not None:
+                target = target * tscin[:, None]
+            seq = gather_dequant_xla(sv, ss, sslots)
+            if sscin is not None:
+                seq = seq * sscin[:, None]
+            seq = seq.reshape(batch, max_len, -1)
             return self.model.apply(mp, dense, target, seq, seq_len)
 
         self._fwd = fwd
@@ -113,17 +144,18 @@ class FusedDinServer:
         seq_keys = np.asarray(seq_keys, dtype=np.int64).reshape(b, -1)
         s = seq_keys.shape[1]
         tslots = self.cache.translate(
-            self.target_table, np.asarray(target_keys, np.int64).reshape(-1)
-        ).astype(np.int32)
-        sslots = self.cache.translate(self.seq_table, seq_keys.reshape(-1)).astype(
-            np.int32
-        )
-        tt = self.cache.tables[self.target_table]
-        st = self.cache.tables[self.seq_table]
+            self.target_table, np.asarray(target_keys, np.int64).reshape(-1))
+        sslots = self.cache.translate(self.seq_table, seq_keys.reshape(-1))
+        tv, ts, tslots, tscin = resolve_table_operands(
+            self.cache.tables[self.target_table], tslots)
+        sv, ss, sslots, sscin = resolve_table_operands(
+            self.cache.tables[self.seq_table], sslots)
         return self._fwd(
             self.model_params,
-            tt.values, tt.scales, st.values, st.scales,
+            tv, ts, sv, ss,
             jnp.asarray(tslots), jnp.asarray(sslots),
+            None if tscin is None else jnp.asarray(tscin),
+            None if sscin is None else jnp.asarray(sscin),
             jnp.asarray(np.asarray(seq_len, np.int32)),
             jnp.asarray(dense),
             batch=b, max_len=s,

@@ -105,3 +105,45 @@ def test_fused_din_end_to_end(din_deploy):
         skeys2[i, seq_len[i]:] = -12345  # all-miss padding
     logits2 = np.asarray(srv.predict(tkeys, skeys2, seq_len, dense))
     np.testing.assert_allclose(logits, logits2, rtol=1e-4, atol=1e-5)
+
+
+def test_pooled_solo_host_scales(tmp_path, monkeypatch):
+    """Force the 'solo' arena kind (host-side scales) and check the pooled
+    path routes per-key scales as a program input, numerically identical to
+    the device-scales route (the production big-table policy)."""
+    monkeypatch.setenv("HPS_TPU_ONEHOT_MAX_ROWS", "4")
+    monkeypatch.setenv("HPS_TPU_ARENA_MEMBER_MAX_ROWS", "8")
+    tbl = make_synthetic_table(300, 16, seed=77)
+    write_sparse_model(tmp_path / "t", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "m",
+                    "sparse_files": [str(tmp_path / "t")],
+                    "embedding_vecsize_per_table": [16],
+                    "maxnum_catfeature_query_per_table_per_sample": [8],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 8,
+                    "max_batch_size": 32,
+                }
+            ]
+        }
+    )
+    cache = ps.get_embedding_cache("m", 0)
+    table = cache.tables[0]
+    arena = getattr(table, "arena", None)
+    assert arena is not None and arena.scales_host is not None, (
+        "test precondition: table must land on a host-scales arena kind"
+    )
+    b, s = 4, 5
+    rng = np.random.default_rng(3)
+    keys = tbl.keys[rng.integers(0, 300, (b, s))]
+    seq_len = np.array([5, 2, 0, 4], np.int32)
+    out = np.asarray(pooled_lookup(cache, 0, keys, seq_len, mode="mean"))
+    ref = expected_vector(keys.reshape(-1), 16).reshape(b, s, 16)
+    for i in range(b):
+        n = int(seq_len[i])
+        want = ref[i, :n].mean(axis=0) if n else np.zeros(16)
+        np.testing.assert_allclose(out[i], want, rtol=0.02, atol=0.02)
