@@ -31,6 +31,9 @@ import jax.numpy as jnp
 
 from hugectr_backend_tpu.config.params import EmbeddingCacheType, InferenceParams
 from hugectr_backend_tpu.tiers.hbm import DeviceTable, gather_dequant_xla
+from hugectr_backend_tpu.utils.logging import get_logger
+
+log = get_logger("hps_tpu.cache")
 
 
 @dataclasses.dataclass
@@ -147,6 +150,28 @@ class EmbeddingCache:
         """Host-side key -> slot translation; misses -> default-row slot."""
         return self.tables[table_idx].slots_for(keys)
 
+    def translate_resolve(self, table_idx: int, keys: np.ndarray):
+        """Translate one table's keys AND snapshot its device operands under
+        ONE lock hold (the translate+snapshot pairing invariant — a dynamic
+        cache may remap a slot and swap the values array between the two
+        otherwise). Single-table counterpart of lookup()'s locked prologue,
+        using the production access-path policy.
+
+        -> (values, device_scales, slots_int32, host_scales_or_None)
+        """
+        keys = np.asarray(keys, dtype=np.int64).reshape(-1)
+        with self._lock:
+            slots = self.translate(table_idx, keys)
+            table = self.tables[table_idx]
+            arena = getattr(table, "arena", None)
+            if arena is None:
+                return table.values, table.scales, slots.astype(np.int32), None
+            gslots = slots.astype(np.int64) + table.offset
+            host = getattr(arena, "scales_host", None)
+            if host is not None:
+                return arena.values, None, gslots.astype(np.int32), host[gslots]
+            return arena.values, arena.scales, gslots.astype(np.int32), None
+
     def _translate_all(self, keys_per_table):
         """Translate every table's keys under the caller-held lock; updates
         the hit meter. -> (local_slots, counts, miss_info)."""
@@ -163,13 +188,21 @@ class EmbeddingCache:
             miss_info.append((keys, miss_mask))
         return local_slots, counts, miss_info
 
-    def lookup_flat(self, keys_per_table: Sequence[np.ndarray]) -> jax.Array:
+    def lookup_flat(self, keys_per_table: Sequence[np.ndarray],
+                    pad_counts: Optional[Sequence[int]] = None) -> jax.Array:
         """Like :meth:`lookup` but returns ONE flat f32 device array —
         table 0's rows, then table 1's, ... (the KEYS/NUMKEYS wire format's
         OUTPUT0 layout). On the all-hit path this is a single compiled
         program and a single device->host transfer when fetched — the
         serving frontend's hot path (a per-table fetch costs a full
-        dispatch round-trip each on remote-attached setups)."""
+        dispatch round-trip each on remote-attached setups).
+
+        ``pad_counts[t]`` (optional, >= len(keys_per_table[t])) pads table
+        t's run to that many rows at the SLOT level: pads get the
+        default-row slot (the repo's padding invariant — gathered then
+        discarded by the caller), never count as misses or touch the hit
+        meter/LRU, and keep compiled signatures on the caller's bucket
+        grid regardless of cache residency."""
         from hugectr_backend_tpu.cache.lookup_program import lookup_flat_jit
 
         with self._lock:
@@ -179,10 +212,20 @@ class EmbeddingCache:
             need_merge = self.tier_query is not None and any(
                 m.any() for _, m in miss_info
             )
-            if not need_merge:
-                vals_l, dscales_l, slots_l, scin_l, metas, table_pos = (
-                    self.prepare_lookup(counts, local_slots)
-                )
+            if pad_counts is not None:
+                for t, pc in enumerate(pad_counts):
+                    pc = int(pc)
+                    if pc > counts[t]:
+                        pad = np.full(
+                            pc - counts[t],
+                            self.tables[t].index.miss_slot,
+                            dtype=local_slots[t].dtype,
+                        )
+                        local_slots[t] = np.concatenate([local_slots[t], pad])
+                        counts[t] = pc
+            vals_l, dscales_l, slots_l, scin_l, metas, table_pos = (
+                self.prepare_lookup(counts, local_slots)
+            )
         if not need_merge:
             from hugectr_backend_tpu.cache.lookup_program import pack_host_args
 
@@ -201,9 +244,13 @@ class EmbeddingCache:
                 cb,
                 slices,
             )
-        # Miss path (cold cache): full lookup with tier merge, then an
-        # eager device-side flatten.
-        outs = self.lookup(keys_per_table)
+        # Miss path (cold cache): tier merge on the already-translated
+        # snapshot (one _translate_all per request), then an eager
+        # device-side flatten.
+        outs = self._lookup_prepared(
+            counts, miss_info, vals_l, dscales_l, slots_l, scin_l, metas,
+            table_pos,
+        )
         if not outs:
             return jnp.zeros((0,), jnp.float32)
         return jnp.concatenate([o.reshape(-1) for o in outs])
@@ -294,7 +341,6 @@ class EmbeddingCache:
         -> scatter into the result -> default value if absent everywhere ->
         insert policy.
         """
-        n_tables = len(self.tables)
         # Translation and the values snapshot happen under ONE lock hold:
         # table arrays are functional (inserts REPLACE them), so a snapshot
         # consistent with the translated slots stays valid even if an insert
@@ -306,7 +352,15 @@ class EmbeddingCache:
             vals_l, dscales_l, slots_l, scin_l, metas, table_group = (
                 self.prepare_lookup(counts, local_slots)
             )
+        return self._lookup_prepared(
+            counts, miss_info, vals_l, dscales_l, slots_l, scin_l, metas,
+            table_group,
+        )
 
+    def _lookup_prepared(self, counts, miss_info, vals_l, dscales_l, slots_l,
+                         scin_l, metas, table_group) -> list[jax.Array]:
+        """Gather + tier miss-merge over an already-translated snapshot."""
+        n_tables = len(self.tables)
         from hugectr_backend_tpu.cache.lookup_program import (
             lookup_groups_jit,
             pack_host_args,
@@ -578,17 +632,30 @@ class DynamicEmbeddingCache(EmbeddingCache):
                 self._drain_busy = True
             # Coalesce per table; for duplicate keys the LAST enqueued row
             # wins (np.unique keeps the first occurrence, so reverse first).
-            per_table: dict[int, list] = {}
-            for t, k, v in batch:
-                per_table.setdefault(t, []).append((k, v))
-            for t, parts in per_table.items():
-                keys = np.concatenate([k for k, _ in parts])[::-1]
-                vecs = np.concatenate([v for _, v in parts])[::-1]
-                _, first = np.unique(keys, return_index=True)
-                self._insert(t, keys[first], vecs[first])
-            with self._pending_cv:
-                self._drain_busy = False
-                self._pending_cv.notify_all()
+            # A failing insert must not kill the drainer (the tiers stay
+            # authoritative; the rows are just not cached) — log, count it
+            # as dropped, and keep draining.
+            try:
+                per_table: dict[int, list] = {}
+                for t, k, v in batch:
+                    per_table.setdefault(t, []).append((k, v))
+                for t, parts in per_table.items():
+                    keys = np.concatenate([k for k, _ in parts])[::-1]
+                    vecs = np.concatenate([v for _, v in parts])[::-1]
+                    _, first = np.unique(keys, return_index=True)
+                    try:
+                        self._insert(t, keys[first], vecs[first])
+                    except Exception:
+                        log.exception(
+                            "async insert failed for table %d (%d keys "
+                            "dropped; tiers remain authoritative)",
+                            t, int(first.size),
+                        )
+                        self.dropped_inserts += 1
+            finally:
+                with self._pending_cv:
+                    self._drain_busy = False
+                    self._pending_cv.notify_all()
 
     def pending_inserts(self) -> int:
         with self._pending_cv:

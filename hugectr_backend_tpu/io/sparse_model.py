@@ -63,24 +63,56 @@ def _fsspec_fetch(uri: str) -> str:
             "fetcher via hugectr_backend_tpu.io.sparse_model."
             "register_remote_fetcher(scheme, fetch_fn)."
         ) from e
-    dest = Path(tempfile.gettempdir()) / (
-        "hps_sparse_" + hashlib.sha1(uri.encode()).hexdigest()[:16]
-    )
-    if not dest.exists():
+    try:
+        fs, _, (path,) = fsspec.get_fs_token_paths(uri)
+        # Cache key = uri + a best-effort remote fingerprint (file names,
+        # sizes, mtimes): re-deploying new weights to the same URI restages
+        # instead of silently serving the old copy forever.
+        h = hashlib.sha1(uri.encode())
         try:
-            fs, _, (path,) = fsspec.get_fs_token_paths(uri)
+            for info in sorted(
+                fs.find(path, detail=True).values(),
+                key=lambda i: str(i.get("name", "")),
+            ):
+                h.update(
+                    f"{info.get('name')}|{info.get('size')}|"
+                    f"{info.get('mtime', info.get('LastModified', ''))}".encode()
+                )
+        except Exception:
+            pass  # listing unsupported: fall back to uri-only key
+        dest = Path(tempfile.gettempdir()) / ("hps_sparse_" + h.hexdigest()[:16])
+        if not dest.exists():
             tmp = dest.with_suffix(".staging")
-            tmp.mkdir(parents=True, exist_ok=True)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
             fs.get(path, str(tmp), recursive=True)
+            tmp = Path(tmp)
+            # fsspec may nest the source dir under its basename when the
+            # target exists; unwrap a lone inner directory so callers see
+            # <dest>/key etc. directly.
+            entries = list(tmp.iterdir()) if tmp.is_dir() else []
+            basename = str(path).rstrip("/").rsplit("/", 1)[-1]
+            if (
+                len(entries) == 1
+                and entries[0].is_dir()
+                and entries[0].name == basename
+            ):
+                inner = entries[0]
+                final = tmp.with_suffix(".unwrap")
+                shutil.rmtree(final, ignore_errors=True)
+                os.replace(inner, final)
+                shutil.rmtree(tmp, ignore_errors=True)
+                tmp = final
             os.replace(tmp, dest)
-        except Exception as e:
-            raise NotImplementedError(
-                f"Remote path {uri!r}: staging via fsspec failed ({e!r}). "
-                "Stage the files to a local path, install/configure the "
-                "scheme's fsspec driver, or register a fetcher via "
-                "hugectr_backend_tpu.io.sparse_model."
-                "register_remote_fetcher(scheme, fetch_fn)."
-            ) from e
+    except Exception as e:
+        raise NotImplementedError(
+            f"Remote path {uri!r}: staging via fsspec failed ({e!r}). "
+            "Stage the files to a local path, install/configure the "
+            "scheme's fsspec driver, or register a fetcher via "
+            "hugectr_backend_tpu.io.sparse_model."
+            "register_remote_fetcher(scheme, fetch_fn)."
+        ) from e
     return str(dest)
 
 

@@ -69,9 +69,14 @@ class LookupSession:
     def lookup_numpy(self, keys_per_table, num_keys_per_table=None) -> list[np.ndarray]:
         return [np.asarray(o) for o in self.lookup(keys_per_table, num_keys_per_table)]
 
-    def lookup_flat(self, keys_per_table, num_keys_per_table=None) -> jax.Array:
+    def lookup_flat(self, keys_per_table, num_keys_per_table=None,
+                    pad_counts=None) -> jax.Array:
         """Single flat f32 OUTPUT0 vector (table-major) in one compiled
-        program + one transfer — the serving frontend's hot path."""
+        program + one transfer — the serving frontend's hot path.
+
+        ``pad_counts[t]`` (optional) pads table t's run to that many rows at
+        the SLOT level (default-row slots, discarded by the caller) so
+        compiled signatures stay on a fixed bucket grid."""
         if len(keys_per_table) != self.cache.num_tables:
             raise ValueError(
                 f"got {len(keys_per_table)} key arrays for "
@@ -82,7 +87,7 @@ class LookupSession:
                 np.asarray(k).reshape(-1)[: int(n)]
                 for k, n in zip(keys_per_table, num_keys_per_table)
             ]
-        return self.cache.lookup_flat(keys_per_table)
+        return self.cache.lookup_flat(keys_per_table, pad_counts=pad_counts)
 
     # ---------------------------------------------------------- wire format
 

@@ -73,9 +73,10 @@ def pooled_lookup(
     b, s = keys.shape
     if seq_len is None:
         seq_len = np.full(b, s, np.int32)
-    slots = cache.translate(table_idx, keys.reshape(-1)).astype(np.int64)
-    vals, dev_scales, slots, scin = resolve_table_operands(
-        cache.tables[table_idx], slots)
+    # Translate + snapshot under one cache-lock hold (the pairing invariant;
+    # a dynamic cache's insert may remap slots between the two otherwise).
+    vals, dev_scales, slots, scin = cache.translate_resolve(
+        table_idx, keys.reshape(-1))
     return _pooled_gather(
         vals,
         dev_scales,
@@ -86,23 +87,6 @@ def pooled_lookup(
         mode=mode,
         scin=None if scin is None else jnp.asarray(scin),
     )
-
-
-def resolve_table_operands(table, local_slots: np.ndarray):
-    """-> (values, device_scales, slots, host_scales) for one table, using
-    the production access-path policy (ps/parameter_server.py _build_cache):
-    arena members address the WHOLE arena at arena-global slots (no device
-    slice per call), and solo/onehot arenas fetch per-key scales from the
-    host-side copy during translation instead of a device scales gather."""
-    arena = getattr(table, "arena", None)
-    if arena is None:
-        return (table.values, table.scales,
-                local_slots.astype(np.int32), None)
-    gslots = local_slots.astype(np.int64) + table.offset
-    host = getattr(arena, "scales_host", None)
-    if host is not None:
-        return arena.values, None, gslots.astype(np.int32), host[gslots]
-    return arena.values, arena.scales, gslots.astype(np.int32), None
 
 
 class FusedDinServer:
@@ -143,13 +127,13 @@ class FusedDinServer:
         b = dense.shape[0]
         seq_keys = np.asarray(seq_keys, dtype=np.int64).reshape(b, -1)
         s = seq_keys.shape[1]
-        tslots = self.cache.translate(
+        # Each translate+snapshot pairs under one cache-lock hold (see
+        # EmbeddingCache.translate_resolve); the two tables need not share a
+        # hold — each (slots, values) pair is internally consistent.
+        tv, ts, tslots, tscin = self.cache.translate_resolve(
             self.target_table, np.asarray(target_keys, np.int64).reshape(-1))
-        sslots = self.cache.translate(self.seq_table, seq_keys.reshape(-1))
-        tv, ts, tslots, tscin = resolve_table_operands(
-            self.cache.tables[self.target_table], tslots)
-        sv, ss, sslots, sscin = resolve_table_operands(
-            self.cache.tables[self.seq_table], sslots)
+        sv, ss, sslots, sscin = self.cache.translate_resolve(
+            self.seq_table, seq_keys.reshape(-1))
         return self._fwd(
             self.model_params,
             tv, ts, sv, ss,

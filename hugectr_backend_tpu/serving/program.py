@@ -32,8 +32,10 @@ def make_dlrm_forward(model, keys_per_sample: int):
     """
 
     @jax.jit
-    def forward(params, values, scales, slots, dense):
+    def forward(params, values, scales, slots, scin, dense):
         flat = gather_dequant_xla(values, scales, slots)
+        if scin is not None:  # host-gathered per-key scales (solo policy)
+            flat = flat * scin[:, None]
         emb = flat.reshape(dense.shape[0], keys_per_sample, flat.shape[-1])
         return model.apply(params, dense, emb)
 
@@ -72,13 +74,16 @@ class FusedDlrmServer:
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
         keys = np.asarray(keys, dtype=np.int64).reshape(b * self.keys_per_sample)
-        slots = self.cache.translate(self.table_idx, keys).astype(np.int32)
-        table = self.cache.tables[self.table_idx]
+        # Translate + operand snapshot pair under one cache-lock hold
+        # (arena-aware; see EmbeddingCache.translate_resolve).
+        vals, scales, slots, scin = self.cache.translate_resolve(
+            self.table_idx, keys)
         return self._forward(
             self.model_params,
-            table.values,
-            table.scales,
+            vals,
+            scales,
             jnp.asarray(slots),
+            None if scin is None else jnp.asarray(scin),
             jnp.asarray(dense),
         )
 

@@ -159,26 +159,22 @@ class ContinuousBatcher:
                 total += nxt.num_samples
             self._execute(batch)
 
-    def _pad_to_bucket(self, t: int, keys: np.ndarray) -> np.ndarray:
-        """Pad a merged per-table key run up to the next power of two using
-        a key known to be resident (first sorted key). Padding rows are
-        gathered and discarded — on TPU the wasted gather is cheaper than a
-        fresh XLA signature per batch mix. (Padding counts as hits in the
-        hit-rate meter — a small upward bias, bounded by 2x, toward the
-        async-insert regime.)"""
-        table = self.session.cache.tables[t]
-        if table.capacity == 0:
-            return keys
-        n = keys.shape[0]
-        b = 8
-        while b < n:
-            b *= 2
-        if b == n:
-            return keys
-        pad_key = int(table.index.sorted_keys[0])
-        return np.concatenate(
-            [keys, np.full(b - n, pad_key, dtype=np.int64)]
-        )
+    def _bucket_counts(self, merged: "list[np.ndarray]") -> "list[int]":
+        """Power-of-two padded row count per table (0-capacity tables are
+        left unpadded). Padding happens at the SLOT level inside
+        lookup_flat — pads get the default-row slot, so they can never miss
+        (a pad KEY could be evicted from a dynamic cache, dragging every
+        batch through the tier-merge slow path) and never skew the
+        hit-rate meter. Padded rows are gathered and discarded — on TPU the
+        wasted gather is cheaper than a fresh XLA signature per batch mix."""
+        from hugectr_backend_tpu.cache.embedding_cache import _bucket
+
+        return [
+            m.shape[0]
+            if self.session.cache.tables[t].capacity == 0
+            else _bucket(max(m.shape[0], 1))
+            for t, m in enumerate(merged)
+        ]
 
     def _execute(self, batch: list[InferRequest]):
         from hugectr_backend_tpu.utils.tracing import annotate
@@ -201,24 +197,24 @@ class ContinuousBatcher:
                     for t in range(n_tables)
                 ]
                 # Pad each table's merged run to its power-of-two bucket
-                # with a RESIDENT key (never a miss: a missing pad key
-                # would drag every request through the tier-merge slow
-                # path). This pins the compiled-signature set to the pow2
-                # grid — merged batches of any mix hit a warm executable.
-                merged = [
-                    self._pad_to_bucket(t, m) for t, m in enumerate(merged)
-                ]
+                # at the SLOT level (default-row pads — never a miss, no
+                # residency dependence). This pins the compiled-signature
+                # set to the pow2 grid — merged batches of any mix hit a
+                # warm executable.
+                pad_counts = self._bucket_counts(merged)
                 # Flat single-program lookup: one dispatch + ONE
                 # device->host transfer for the whole merged batch (a
                 # per-table fetch costs a full round-trip each on
                 # remote-attached device setups).
-                flat = np.asarray(self.session.lookup_flat(merged))
+                flat = np.asarray(
+                    self.session.lookup_flat(merged, pad_counts=pad_counts)
+                )
             # Split back per request: flat is table-major (padded counts);
             # within a table, requests appear in merge order.
             dims = [self.session.cache.tables[t].dim for t in range(n_tables)]
-            counts = [m.shape[0] for m in merged]
+            # Table runs in the flat output are PADDED to pad_counts rows.
             tstarts = np.concatenate(
-                [[0], np.cumsum([c * d for c, d in zip(counts, dims)])]
+                [[0], np.cumsum([c * d for c, d in zip(pad_counts, dims)])]
             ).astype(np.int64)
             offsets = [0] * n_tables
             for bi, r in enumerate(batch):

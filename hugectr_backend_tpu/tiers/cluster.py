@@ -116,6 +116,9 @@ class ClusterNodeServer:
                 name="hps-cluster-conn",
             )
             t.start()
+            # Prune finished handlers so a long-lived node doesn't pin an
+            # ever-growing list of dead Thread objects.
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve(self, conn):
@@ -375,6 +378,11 @@ class ClusterKVTier(KVTier):
                 f = np.frombuffer(raw, np.uint8, part.size).astype(bool)
                 vecs = np.frombuffer(raw, "<f4", -1, part.size)
                 d = vecs.shape[0] // max(part.size, 1)
+                if d == 0:
+                    # A restarted/blank node answered "unknown table" with
+                    # dim-0 vectors: treat its keys as misses instead of
+                    # failing the whole cross-host query.
+                    continue
                 if out is None:
                     dim = d
                     self._dims.setdefault(tag, d)

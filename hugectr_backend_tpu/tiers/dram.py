@@ -264,10 +264,12 @@ def make_dram_tier(params: Optional[VolatileDatabaseParams] = None) -> KVTier:
                 "node(s) at %s", len(addrs), params.address,
             )
             return tier
-        except OSError as e:
+        except (OSError, ValueError) as e:
             # Reference resilience posture: fall back rather than fail the
             # server (its persistent-DB full copy covers a Redis outage,
-            # doc:43).
+            # doc:43). ValueError covers malformed/empty address lists
+            # (e.g. a port-less host string), which must degrade the same
+            # way a dead node does.
             log.warning(
                 "volatile_db redis_cluster: cannot reach pool nodes at %s "
                 "(%s); falling back to the local DRAM store",

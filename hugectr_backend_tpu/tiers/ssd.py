@@ -198,7 +198,11 @@ class _TableLog:
             pos = np.searchsorted(okeys, keys)
             pos_c = np.minimum(pos, okeys.size - 1)
             hit = okeys[pos_c] == keys
-            rows[hit] = orows[pos_c[hit]]  # overlay is newer: wins
+            # Rows are append-log positions, so the newest record is simply
+            # the max row: a bulk insert can land a key in the main index at
+            # a HIGHER row than a stale overlay entry (bulk inserts bypass
+            # the overlay), so neither side unconditionally wins.
+            rows[hit] = np.maximum(rows[hit], orows[pos_c[hit]])
         return rows
 
     def query(self, keys: np.ndarray):

@@ -74,6 +74,9 @@ class MiniKafkaBroker:
                 name="mini-kafka-conn",
             )
             t.start()
+            # Prune finished handlers so a long-lived broker doesn't pin an
+            # ever-growing list of dead Thread objects.
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _serve_conn(self, conn: socket.socket):
