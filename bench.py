@@ -323,6 +323,47 @@ def tier_latency_stage():
     }
 
 
+def host_translate_stage(batch):
+    """Host half of the serving hot path: key -> slot translation for a full
+    26-table request (sparse int64 keys, the reference's general case —
+    reference docs/architecture.md:185-218 allows arbitrary key values).
+    One native batch call translates every table in parallel on the
+    persistent pool (tiers/hbm.py translate_indexes_batch). In production the
+    continuous batcher overlaps batch k+1's translation with batch k's device
+    gather, so sustained throughput is bounded by max(host, device) — both
+    are reported."""
+    import multiprocessing
+
+    from hugectr_backend_tpu.tiers.hbm import (
+        KeyIndex,
+        translate_indexes_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    idxs, batches = [], []
+    for c in CRITEO_CARDS:
+        keys = np.sort(
+            rng.choice(c * 4 + 8, size=c, replace=False).astype(np.int64))
+        idx, _ = KeyIndex.build(keys)
+        idxs.append(idx)
+        batches.append(keys[rng.zipf(1.05, batch) % c])
+    translate_indexes_batch(idxs, batches)
+    best = float("inf")
+    for _ in range(20):
+        t0 = time.perf_counter()
+        translate_indexes_batch(idxs, batches)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "host_translate_us": round(best * 1e6, 1),
+        "host_translate_ns_per_key": round(
+            best * 1e9 / (batch * len(CRITEO_CARDS)), 1),
+        "host_translate_cpus": multiprocessing.cpu_count(),
+        "host_translate_note": "native static-hash batch translate, all "
+        "tables parallel on the pool; scales with host cores (this box: "
+        f"{multiprocessing.cpu_count()})",
+    }
+
+
 def host_scale(i):
     """The synthetic per-row scale formula (host-computable mirror of the
     on-device table generator below)."""
@@ -579,6 +620,16 @@ def main():
         tier_extra = {"tier_error": repr(e)}
 
     try:
+        host_extra = host_translate_stage(BATCH)
+        host_us = host_extra["host_translate_us"]
+        # Batcher pipelines host translation under the device program;
+        # sustained = the slower of the two stages.
+        host_extra["sustained_vectors_per_s"] = round(
+            BATCH * n_tables / max(host_us, us_head) * 1e6, 1)
+    except Exception as e:
+        host_extra = {"host_translate_error": repr(e)}
+
+    try:
         e2e_extra = e2e_serving_stage()
     except Exception as e:  # never fail the bench on the serving stage
         e2e_extra = {"e2e_error": repr(e)}
@@ -605,6 +656,7 @@ def main():
                                     f"{din_rows}-row int8 table, masked mean,"
                                     " host-side scales (solo policy)",
                 **tier_extra,
+                **host_extra,
                 "batch": BATCH,
                 "num_tables": n_tables,
                 "layout": f"criteo-kaggle 26 tables x {DIM}d int8+f32 scales: "

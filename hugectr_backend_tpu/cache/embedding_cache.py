@@ -174,12 +174,27 @@ class EmbeddingCache:
 
     def _translate_all(self, keys_per_table):
         """Translate every table's keys under the caller-held lock; updates
-        the hit meter. -> (local_slots, counts, miss_info)."""
+        the hit meter. -> (local_slots, counts, miss_info).
+
+        Static caches translate the whole request in ONE native batch call
+        (all tables' chunks in parallel on the persistent pool — see
+        tiers/hbm.py translate_indexes_batch); subclasses that override
+        ``translate`` (the dynamic cache's LRU path) keep the per-table
+        loop."""
+        keys_c = [
+            np.asarray(k, dtype=np.int64).reshape(-1) for k in keys_per_table
+        ]
+        if type(self).translate is EmbeddingCache.translate:
+            from hugectr_backend_tpu.tiers.hbm import translate_indexes_batch
+
+            slots_all = translate_indexes_batch(
+                [t.index for t in self.tables], keys_c
+            )
+        else:
+            slots_all = [self.translate(t, k) for t, k in enumerate(keys_c)]
         local_slots, counts, miss_info = [], [], []
-        for t in range(len(self.tables)):
-            keys = np.asarray(keys_per_table[t], dtype=np.int64).reshape(-1)
+        for t, (keys, slots) in enumerate(zip(keys_c, slots_all)):
             n = keys.shape[0]
-            slots = self.translate(t, keys)
             miss_mask = slots == self.tables[t].index.miss_slot
             n_hit = int(n - miss_mask.sum())
             self.hit_meter.update(t, n_hit, n)

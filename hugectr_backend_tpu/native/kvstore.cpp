@@ -495,3 +495,215 @@ int64_t hps_slotmap_keys(void* h, int64_t* out_keys, int32_t* out_slots,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// StaticMap: immutable key -> slot index for STATIC embedding tables.
+//
+// The serving hot path translates every request key to its table slot on the
+// host before the device gather (the reference does this probe inside its
+// CUDA cache kernels, reference docs/architecture.md:29-32; on TPU the host
+// owns translation so the device program stays static-shape). A sorted-array
+// binary search costs ~360 ns/key on multi-million-row tables (~23 probes,
+// each a cache miss); this open-addressing map is ~1.3 probes of one 16-byte
+// cache line each, and bulk translation is read-only, so it runs lock-free
+// and parallel on a persistent worker pool (the reference keeps an analogous
+// native ThreadPool, reference thread_pool.cpp:28-35).
+//
+// slot i == position of keys[i] in the build array: bit-identical results to
+// the numpy searchsorted index it replaces (tiers/hbm.py KeyIndex).
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <functional>
+
+namespace {
+
+// Persistent pool: parallel_parts() spawns threads per call (fine for tier
+// bulk ops) but a hot-path translate at ~100 us total cannot afford ~0.3 ms
+// of thread spawns. Lazy singleton; run() blocks until all n tasks finish.
+struct Pool {
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  const std::function<void(int)>* fn = nullptr;
+  int total = 0;
+  std::atomic<int> next{0};
+  std::atomic<int> done{0};
+  uint64_t gen = 0;
+  bool stop = false;
+
+  static Pool& get() {
+    static Pool p;
+    return p;
+  }
+
+  Pool() {
+    unsigned hw = std::thread::hardware_concurrency();
+    int n = static_cast<int>(hw ? (hw < 16u ? hw : 16u) : 4u);
+    for (int w = 0; w < n; ++w) workers.emplace_back([this] { loop(); });
+  }
+
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lock(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : workers) t.join();
+  }
+
+  void loop() {
+    uint64_t seen = 0;
+    while (true) {
+      const std::function<void(int)>* f;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        cv_work.wait(lock, [&] { return stop || gen != seen; });
+        if (stop) return;
+        seen = gen;
+        f = fn;
+      }
+      int i;
+      while ((i = next.fetch_add(1)) < total) (*f)(i);
+      if (done.fetch_add(1) + 1 == static_cast<int>(workers.size()))
+        cv_done.notify_all();
+    }
+  }
+
+  void run(int n, const std::function<void(int)>& f) {
+    if (n <= 1) {
+      for (int i = 0; i < n; ++i) f(i);
+      return;
+    }
+    std::unique_lock<std::mutex> lock(mu);
+    fn = &f;
+    total = n;
+    next.store(0);
+    done.store(0);
+    ++gen;
+    cv_work.notify_all();
+    cv_done.wait(lock, [&] { return done.load() == static_cast<int>(workers.size()); });
+  }
+};
+
+struct StaticEntry {
+  int64_t key;
+  int64_t val;
+};
+
+struct StaticMap {
+  std::vector<StaticEntry> table;
+  size_t mask = 0;
+  int64_t empty_key_val = -1;  // slot for a real key == kEmpty sentinel
+
+  StaticMap(int64_t n, const int64_t* keys) {
+    size_t hcap = 64;
+    while (hcap * 3 < static_cast<size_t>(n) * 4) hcap *= 2;  // load <= 0.75
+    table.assign(hcap, StaticEntry{kEmpty, -1});
+    mask = hcap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      if (keys[i] == kEmpty) {
+        empty_key_val = i;
+        continue;
+      }
+      size_t p = Partition::hash_key(keys[i]) & mask;
+      while (table[p].key != kEmpty) p = (p + 1) & mask;
+      table[p] = StaticEntry{keys[i], i};
+    }
+  }
+
+  inline int64_t find(int64_t key) const {
+    if (key == kEmpty) return empty_key_val;
+    size_t p = Partition::hash_key(key) & mask;
+    while (true) {
+      const StaticEntry& e = table[p];
+      if (e.key == key) return e.val;
+      if (e.key == kEmpty) return -1;
+      p = (p + 1) & mask;
+    }
+  }
+};
+
+constexpr int64_t kTranslateChunk = 8192;
+
+inline void statmap_translate_range(const StaticMap* m, const int64_t* keys,
+                                    int32_t* out, int64_t lo, int64_t hi,
+                                    int32_t miss_slot) {
+  for (int64_t i = lo; i < hi; ++i) {
+    int64_t v = m->find(keys[i]);
+    out[i] = v < 0 ? miss_slot : static_cast<int32_t>(v);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hps_statmap_create(int64_t n, const int64_t* keys) {
+  return new StaticMap(n, keys);
+}
+
+void hps_statmap_destroy(void* h) { delete static_cast<StaticMap*>(h); }
+
+int64_t hps_statmap_nbytes(void* h) {
+  auto* m = static_cast<StaticMap*>(h);
+  return static_cast<int64_t>(m->table.size() * sizeof(StaticEntry));
+}
+
+// Translate n keys -> slots; missing keys get miss_slot. Read-only (no lock);
+// chunks run on the persistent pool when n is large enough to amortize it.
+void hps_statmap_translate(void* h, int64_t n, const int64_t* keys,
+                           int32_t* out_slots, int32_t miss_slot) {
+  auto* m = static_cast<StaticMap*>(h);
+  if (n <= kTranslateChunk) {
+    statmap_translate_range(m, keys, out_slots, 0, n, miss_slot);
+    return;
+  }
+  int parts = static_cast<int>((n + kTranslateChunk - 1) / kTranslateChunk);
+  Pool::get().run(parts, [&](int pi) {
+    int64_t lo = static_cast<int64_t>(pi) * kTranslateChunk;
+    int64_t hi = lo + kTranslateChunk < n ? lo + kTranslateChunk : n;
+    statmap_translate_range(m, keys, out_slots, lo, hi, miss_slot);
+  });
+}
+
+// Translate a whole multi-table request in ONE call: per-table key/out
+// pointers (no concatenation copies on the caller side). All (table, chunk)
+// units are scheduled on the pool together, so one big table cannot
+// serialize the request. miss_slots[t] is per table.
+void hps_statmap_translate_batch(int32_t n_tables, void** handles,
+                                 const int64_t* counts,
+                                 const int64_t* const* keys_ptrs,
+                                 int32_t* const* out_ptrs,
+                                 const int32_t* miss_slots) {
+  struct Unit {
+    const StaticMap* m;
+    const int64_t* keys;
+    int32_t* out;
+    int64_t n;
+    int32_t miss;
+  };
+  std::vector<Unit> units;
+  int64_t total = 0;
+  for (int32_t t = 0; t < n_tables; ++t) {
+    auto* m = static_cast<StaticMap*>(handles[t]);
+    total += counts[t];
+    for (int64_t lo = 0; lo < counts[t]; lo += kTranslateChunk) {
+      int64_t hi = lo + kTranslateChunk < counts[t] ? lo + kTranslateChunk
+                                                    : counts[t];
+      units.push_back(
+          Unit{m, keys_ptrs[t] + lo, out_ptrs[t] + lo, hi - lo, miss_slots[t]});
+    }
+  }
+  if (total <= kTranslateChunk || units.size() <= 1) {
+    for (const Unit& u : units)
+      statmap_translate_range(u.m, u.keys, u.out, 0, u.n, u.miss);
+    return;
+  }
+  Pool::get().run(static_cast<int>(units.size()), [&](int i) {
+    const Unit& u = units[i];
+    statmap_translate_range(u.m, u.keys, u.out, 0, u.n, u.miss);
+  });
+}
+
+}  // extern "C"
