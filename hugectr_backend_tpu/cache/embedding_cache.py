@@ -172,6 +172,21 @@ class EmbeddingCache:
                 return arena.values, None, gslots.astype(np.int32), host[gslots]
             return arena.values, arena.scales, gslots.astype(np.int32), None
 
+    def _translate_many(self, keys_c):
+        """Translate every table's (already int64-flattened) key run; caller
+        holds the cache lock. Base = static caches: one native batch call,
+        all tables' chunks parallel on the persistent pool. Subclasses that
+        override ``translate`` must override this consistently (the dynamic
+        cache routes through its SlotMaps); the guard below keeps any
+        translate-only override correct, just without batching."""
+        if type(self).translate is not EmbeddingCache.translate:
+            return [self.translate(t, k) for t, k in enumerate(keys_c)]
+        from hugectr_backend_tpu.tiers.hbm import translate_indexes_batch
+
+        return translate_indexes_batch(
+            [t.index for t in self.tables], keys_c
+        )
+
     def _translate_all(self, keys_per_table):
         """Translate every table's keys under the caller-held lock; updates
         the hit meter. -> (local_slots, counts, miss_info).
@@ -184,14 +199,7 @@ class EmbeddingCache:
         keys_c = [
             np.asarray(k, dtype=np.int64).reshape(-1) for k in keys_per_table
         ]
-        if type(self).translate is EmbeddingCache.translate:
-            from hugectr_backend_tpu.tiers.hbm import translate_indexes_batch
-
-            slots_all = translate_indexes_batch(
-                [t.index for t in self.tables], keys_c
-            )
-        else:
-            slots_all = [self.translate(t, k) for t, k in enumerate(keys_c)]
+        slots_all = self._translate_many(keys_c)
         local_slots, counts, miss_info = [], [], []
         for t, (keys, slots) in enumerate(zip(keys_c, slots_all)):
             n = keys.shape[0]
@@ -601,6 +609,14 @@ class DynamicEmbeddingCache(EmbeddingCache):
         # slot acquisition and the row write in _insert (stale-row race).
         with self._lock:
             return self.slotmaps[table_idx].translate(keys)
+
+    def _translate_many(self, keys_c):
+        # One native call, tables parallel (each SlotMap has its own C++
+        # mutex); same cache-lock pairing as translate().
+        from hugectr_backend_tpu.cache.slotmap import translate_slotmaps_batch
+
+        with self._lock:
+            return translate_slotmaps_batch(self.slotmaps, keys_c)
 
     def _on_miss_fetched(self, table_idx, keys, vectors):
         if keys.shape[0] == 0:

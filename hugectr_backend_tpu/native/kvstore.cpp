@@ -707,3 +707,74 @@ void hps_statmap_translate_batch(int32_t n_tables, void** handles,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch ops for the serving hot path: dynamic-cache translation and
+// all-to-all dedup. Same motivation as StaticMap's batch translate — the
+// host half of a lookup must pipeline under the device program, so
+// per-table work runs in ONE call, parallel on the persistent pool.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Translate one multi-table request through DYNAMIC caches' SlotMaps: one
+// pool unit per table (each SlotMap serializes on its own mutex, so
+// intra-table chunking buys nothing; cross-table parallelism is the win).
+// LRU-touch semantics identical to per-table hps_slotmap_translate calls.
+void hps_slotmap_translate_batch(int32_t n_tables, void** handles,
+                                 const int64_t* counts,
+                                 const int64_t* const* keys_ptrs,
+                                 int32_t* const* out_ptrs,
+                                 const int32_t* miss_slots, int touch) {
+  Pool::get().run(n_tables, [&](int t) {
+    hps_slotmap_translate(handles[t], counts[t], keys_ptrs[t], out_ptrs[t],
+                          miss_slots[t], touch);
+  });
+}
+
+// Dedup int64 values preserving first-occurrence order:
+//   out_uniq[0..r)  — unique values in first-seen order,
+//   out_inv[i]      — index into out_uniq for values[i]  (len n),
+// returns r. Open-addressing scratch sized for n (load <= 0.5); replaces
+// np.unique's O(n log n) sort in the all-to-all routing plan
+// (parallel/sharded_table.py plan_all_to_all). NOTE: first-seen order, not
+// sorted — callers must not assume sortedness.
+int64_t hps_dedup_i64(int64_t n, const int64_t* values, int64_t* out_uniq,
+                      int32_t* out_inv) {
+  size_t hcap = 64;
+  while (hcap < static_cast<size_t>(n) * 2) hcap *= 2;
+  std::vector<int64_t> hkey(hcap, kEmpty);
+  std::vector<int32_t> hval(hcap, -1);
+  size_t mask = hcap - 1;
+  int64_t r = 0;
+  int32_t empty_val = -1;  // a real kEmpty value in the input
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v = values[i];
+    if (v == kEmpty) {
+      if (empty_val < 0) {
+        empty_val = static_cast<int32_t>(r);
+        out_uniq[r++] = v;
+      }
+      out_inv[i] = empty_val;
+      continue;
+    }
+    size_t p = Partition::hash_key(v) & mask;
+    while (true) {
+      if (hkey[p] == v) {
+        out_inv[i] = hval[p];
+        break;
+      }
+      if (hkey[p] == kEmpty) {
+        hkey[p] = v;
+        hval[p] = static_cast<int32_t>(r);
+        out_inv[i] = static_cast<int32_t>(r);
+        out_uniq[r++] = v;
+        break;
+      }
+      p = (p + 1) & mask;
+    }
+  }
+  return r;
+}
+
+}  // extern "C"

@@ -195,7 +195,12 @@ def plan_all_to_all(
     pow2 grid.
     """
     slots = np.asarray(slots, dtype=np.int64).reshape(-1)
-    uniq, inv = np.unique(slots, return_inverse=True)
+    # Native O(n) hash dedup (first-seen order — the plan below is
+    # order-independent); np.unique's sort cost ~4.6 ms on a 26k-key merged
+    # batch, which would dominate the routed lookup itself.
+    from hugectr_backend_tpu.tiers.hbm import dedup_int64
+
+    uniq, inv = dedup_int64(slots)
     owner = uniq // shard_rows
     counts = np.bincount(owner, minlength=n_shards)
     cap = _bucket_pow2(max(int(counts.max()), 1), min_capacity)

@@ -132,6 +132,45 @@ def _make_native_statmap(sorted_keys: np.ndarray):
     return _NativeStaticIndex(lib, handle, miss_slot=keys.shape[0])
 
 
+def dedup_int64(values: np.ndarray):
+    """Dedup an int64 array: -> (uniq, inv) with ``uniq[inv] == values``.
+    Native open-addressing pass (O(n), kvstore.cpp hps_dedup_i64) when the
+    lib is built, np.unique otherwise. NOTE: uniq order differs between the
+    two (first-seen vs sorted) — callers must not rely on it."""
+    import ctypes
+
+    values = np.ascontiguousarray(values, np.int64).reshape(-1)
+    n = values.shape[0]
+    if n == 0:
+        return values, np.empty(0, np.int64)
+    lib = None
+    try:
+        from hugectr_backend_tpu.native.kvstore import load_lib
+
+        lib = load_lib()
+    except Exception:
+        pass
+    if lib is None:
+        uniq, inv = np.unique(values, return_inverse=True)
+        return uniq, inv
+    if not getattr(lib, "_dedup_bound", False):
+        lib.hps_dedup_i64.restype = ctypes.c_int64
+        lib.hps_dedup_i64.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib._dedup_bound = True
+    uniq = np.empty(n, np.int64)
+    inv = np.empty(n, np.int32)
+    r = lib.hps_dedup_i64(
+        n,
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return uniq[:r], inv.astype(np.int64)
+
+
 def translate_indexes_batch(indexes, keys_list):
     """Translate many ``(KeyIndex, keys)`` pairs; ONE native call covers all
     native-backed indexes, so every table's chunks run in parallel on the

@@ -145,3 +145,44 @@ def test_static_cache_lookup_uses_batch_path(tmp_path):
     # miss -> default row (zeros)
     out = sess.lookup_numpy([np.array([-99], np.int64), q1[:1]])
     np.testing.assert_allclose(out[0], np.zeros((1, 8), np.float32))
+
+
+def test_dedup_int64_parity():
+    from hugectr_backend_tpu.tiers.hbm import dedup_int64
+
+    rng = np.random.default_rng(8)
+    v = np.concatenate([
+        rng.integers(0, 500, 4000).astype(np.int64),       # duplicate-heavy
+        rng.integers(-2**62, 2**62, 100).astype(np.int64),  # wide range
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).min], np.int64),
+    ])
+    uniq, inv = dedup_int64(v)
+    np.testing.assert_array_equal(uniq[inv], v)
+    assert uniq.size == np.unique(v).size
+    assert np.unique(uniq).size == uniq.size  # no duplicates in uniq
+    u0, i0 = dedup_int64(np.empty(0, np.int64))
+    assert u0.size == 0 and i0.size == 0
+
+
+def test_dynamic_cache_batch_translate_matches_per_table():
+    from hugectr_backend_tpu.cache.slotmap import (
+        make_slotmap,
+        translate_slotmaps_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    maps, key_lists = [], []
+    for cap in [64, 300, 1000]:
+        m = make_slotmap(cap)
+        resident = rng.choice(100_000, cap // 2, replace=False).astype(np.int64)
+        m.acquire(resident)
+        maps.append(m)
+        key_lists.append(np.concatenate([
+            resident[rng.integers(0, resident.size, 50)],
+            rng.integers(200_000, 300_000, 20).astype(np.int64),  # misses
+        ]))
+    expected = [m.translate(k, touch=False) if "touch" in type(m).translate.__code__.co_varnames
+                else m.translate(k) for m, k in zip(maps, key_lists)]
+    got = translate_slotmaps_batch(maps, key_lists)
+    for g, e in zip(got, expected):
+        np.testing.assert_array_equal(g, e)
