@@ -470,7 +470,7 @@ class InferenceParams:
     # Continuous-batching frontend knobs (replaces Triton dynamic batching).
     max_queue_delay_us: int = 300
     # TPU-native extensions (not in reference ps.json; safe defaults)
-    quant_bits: int = 8  # 8 (int8) | 16 (bf16) | 32 (fp32); fp8_quant overrides
+    quant_bits: int = 8  # 4 (int4 packed) | 8 (int8) | 16 (bf16) | 32 (fp32); fp8_quant overrides
     table_shard_axis: str = "table"  # mesh axis name for sharded tables
 
     @classmethod

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 INT8_QMAX = 127.0
+INT4_QMAX = 7.0
 FP8_E4M3_MAX = 448.0
 
 
@@ -60,3 +61,42 @@ def quantize_rows_fp8(vectors: np.ndarray):
 def dequantize_rows(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
     """Host-side reference dequant: q * scale[:, None] -> float32."""
     return q.astype(np.float32) * np.asarray(scales, dtype=np.float32)[:, None]
+
+
+def quantize_rows_int4(vectors: np.ndarray):
+    """Symmetric INT4 row quantization, nibble-packed.
+
+    -> (packed uint8 [rows, dim//2], scales float32 [rows]); even columns in
+    the LOW nibble, odd in the HIGH. Halves table HBM again vs int8 (the
+    quantization win on TPU is *capacity*: the gather cost is flat in row
+    width — ROOFLINE.md §3.6); meant for huge cold tables where 2x the rows
+    resident beats the extra quantization error. Requires an even dim.
+    """
+    vectors = np.asarray(vectors, dtype=np.float32)
+    if vectors.shape[1] % 2:
+        raise ValueError("int4 quantization requires an even embedding dim")
+    scales = _row_scales(vectors, INT4_QMAX)
+    q = np.clip(np.rint(vectors / scales[:, None]), -7, 7).astype(np.int8)
+    return pack_int4(q), scales
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """int8 values in [-8, 7], even dim -> packed uint8 [rows, dim//2]."""
+    u = (q.astype(np.int16) & 0xF).astype(np.uint8)
+    return (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_int4(p: np.ndarray) -> np.ndarray:
+    """packed uint8 [rows, dim//2] -> int8 [rows, dim] (sign-extended)."""
+    lo = (p & 0xF).astype(np.int8)
+    hi = (p >> 4).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo).astype(np.int8)
+    hi = np.where(hi >= 8, hi - 16, hi).astype(np.int8)
+    out = np.empty((p.shape[0], p.shape[1] * 2), np.int8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out
+
+
+def dequantize_rows_int4(p: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    return dequantize_rows(unpack_int4(p), scales)

@@ -208,7 +208,9 @@ class HierParameterServer:
             return "fp32"
         if params.fp8_quant:
             return "fp8"
-        return {8: "int8", 16: "bf16", 32: "fp32"}.get(params.quant_bits, "int8")
+        return {4: "int4", 8: "int8", 16: "bf16", 32: "fp32"}.get(
+            params.quant_bits, "int8"
+        )
 
     def _build_cache(self, params: InferenceParams, device) -> EmbeddingCache:
         from hugectr_backend_tpu.tiers.hbm import build_arena_views
@@ -243,7 +245,9 @@ class HierParameterServer:
         groups: dict = {}
         for t, d in enumerate(dims):
             n_res = host_tables[t][0].shape[0]
-            if n_res + 1 <= onehot_member_max_rows():
+            # int4 tables never take the one-hot kind: the MXU matmul reads
+            # stored values directly and packed nibbles aren't summable.
+            if n_res + 1 <= onehot_member_max_rows() and quant != "int4":
                 groups.setdefault(("onehot", d), []).append(t)
             elif n_res <= arena_member_max_rows():
                 groups.setdefault(("arena", d), []).append(t)

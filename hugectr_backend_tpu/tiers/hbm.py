@@ -327,8 +327,8 @@ class DeviceTable:
         vectors = np.asarray(vectors, dtype=np.float32)
         index, order = KeyIndex.build(keys)
         vals, scales = quantize_host_rows(vectors[order], quant, default_value)
-        dim = int(vals.shape[1])
-        vals, scales = _maybe_block(vals, scales, dim)
+        dim = int(vectors.shape[1])  # logical dim (int4 stores dim//2 bytes)
+        vals, scales = _maybe_block(vals, scales, int(vals.shape[1]))
 
         put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
         return cls(
@@ -367,6 +367,20 @@ def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant, default_value: 
         q, s = quantize_rows_fp8(vectors_sorted)
         dq, ds = _default_row_quant(dim, default_value, FP8_E4M3_MAX)
         vals = np.concatenate([q, dq[None].astype(ml_dtypes.float8_e4m3fn)])
+        scales = np.concatenate([s, ds[None]])
+    elif quant == "int4":
+        from hugectr_backend_tpu.ops.quantize import (
+            INT4_QMAX,
+            pack_int4,
+            quantize_rows_int4,
+        )
+
+        if dim % 2:
+            raise ValueError("int4 tables require an even embedding dim")
+        q, s = quantize_rows_int4(vectors_sorted)
+        dq, ds = _default_row_quant(dim, default_value, INT4_QMAX)
+        dpack = pack_int4(np.clip(dq, -7, 7).astype(np.int8)[None])
+        vals = np.concatenate([q, dpack])
         scales = np.concatenate([s, ds[None]])
     elif quant in ("fp32", "bf16"):
         dtype = np.float32 if quant == "fp32" else jnp.bfloat16
@@ -454,7 +468,7 @@ class ArenaView:
     def values(self) -> jax.Array:
         flat = self.arena.values
         if flat.ndim == 3:
-            flat = flat.reshape(-1, self.dim)
+            flat = flat.reshape(-1, flat.shape[-1])  # stored width (int4: dim//2)
         return flat[self.offset : self.offset + self.capacity + 1]
 
     @property
@@ -512,7 +526,7 @@ def build_arena_views(
     total_rows = int(vals.shape[0])
     keep_host_scales = lookup_kind in ("solo", "onehot") and scales is not None
     scales_host = scales.copy() if keep_host_scales else None
-    vals, scales = _maybe_block(vals, scales, dim)
+    vals, scales = _maybe_block(vals, scales, int(vals.shape[1]))
     put = (lambda x: jax.device_put(x, device)) if device is not None else jax.device_put
     arena = DeviceArena(
         values=put(vals),
@@ -601,11 +615,31 @@ def gather_dequant_xla(
     ``table[slots].astype(f32) * scales[slots][:, None]`` — XLA fuses the
     dequant multiply into the gather consumer; int8/fp8 storage halves/quarters
     the HBM bytes per row and doubles the rows that fit the fast-gather
-    region. Accepts flat [R, D] or blocked [K, SUB, D] table layouts.
+    region. A uint8 table is nibble-packed INT4 (ops/quantize.py pack_int4 —
+    2x int8's rows per HBM byte): the gather fetches packed bytes and the
+    sign-extend/interleave unpack is VPU elementwise work XLA fuses into the
+    consumer. Accepts flat [R, D] or blocked [K, SUB, D] table layouts.
     The Pallas fused kernel (ops/dequant_gather.py) is the tuned alternative;
     both produce identical results.
     """
-    out = _gather_rows(values, slots).astype(jnp.float32)
+    out = _gather_rows(values, slots)
+    if out.dtype == jnp.uint8:  # nibble-packed int4
+        out = _unpack_int4_device(out)
+    else:
+        out = out.astype(jnp.float32)
     if scales is not None:
         out = out * _gather_scales(scales, slots)[:, None]
     return out
+
+
+def _unpack_int4_device(packed: jax.Array) -> jax.Array:
+    """[N, D//2] packed uint8 -> [N, D] f32 (even cols = low nibble)."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return (
+        jnp.stack([lo, hi], axis=-1)
+        .reshape(packed.shape[0], packed.shape[1] * 2)
+        .astype(jnp.float32)
+    )
