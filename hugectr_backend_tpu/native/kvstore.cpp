@@ -778,3 +778,88 @@ int64_t hps_dedup_i64(int64_t n, const int64_t* values, int64_t* out_uniq,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Row-wise quantization for the model-load path. numpy's op-chain
+// (abs -> rowmax -> divide -> rint -> clip -> astype) materializes five
+// full-table temporaries — measured 15 s for a 1M x 128 f32 table on the
+// dev box; this single pass over the data runs chunk-parallel on the
+// persistent pool. Bit-identical to the numpy path: f32 arithmetic,
+// nearbyintf == np.rint (round-half-to-even under the default FP mode).
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace {
+
+inline void quantize_rows_range(const float* vecs, const int64_t* order,
+                                int32_t dim, int64_t lo, int64_t hi,
+                                float qmax, float qlo, float qhi, int mode,
+                                int8_t* out8, uint8_t* out4, float* scales) {
+  for (int64_t r = lo; r < hi; ++r) {
+    const float* v = vecs + (order ? order[r] : r) * static_cast<int64_t>(dim);
+    float absmax = 0.0f;
+    for (int32_t j = 0; j < dim; ++j) {
+      float a = std::fabs(v[j]);
+      if (a > absmax) absmax = a;
+    }
+    // all-zero rows take absmax 1.0 BEFORE the qmax divide (numpy parity:
+    // ops/quantize.py _row_scales); any finite scale dequantizes 0 -> 0.
+    float scale = (absmax == 0.0f ? 1.0f : absmax) / qmax;
+    scales[r] = scale;
+    if (mode == 8) {
+      int8_t* o = out8 + r * static_cast<int64_t>(dim);
+      for (int32_t j = 0; j < dim; ++j) {
+        float q = nearbyintf(v[j] / scale);
+        if (q < qlo) q = qlo;
+        if (q > qhi) q = qhi;
+        o[j] = static_cast<int8_t>(q);
+      }
+    } else {  // mode == 4: nibble-packed, even col low nibble
+      uint8_t* o = out4 + r * static_cast<int64_t>(dim / 2);
+      for (int32_t j = 0; j < dim; j += 2) {
+        float qa = nearbyintf(v[j] / scale);
+        float qb = nearbyintf(v[j + 1] / scale);
+        if (qa < qlo) qa = qlo;
+        if (qa > qhi) qa = qhi;
+        if (qb < qlo) qb = qlo;
+        if (qb > qhi) qb = qhi;
+        uint8_t ua = static_cast<uint8_t>(static_cast<int8_t>(qa)) & 0xF;
+        uint8_t ub = static_cast<uint8_t>(static_cast<int8_t>(qb)) & 0xF;
+        o[j / 2] = static_cast<uint8_t>(ua | (ub << 4));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// mode 8: out is int8 [n, dim], clip [-127, 127], qmax 127.
+// mode 4: out is packed uint8 [n, dim/2], clip [-7, 7], qmax 7 (dim even).
+// order (nullable): source row for output row i is order[i] — folds the
+// sorted-reorder gather into the quantization pass.
+void hps_quantize_rows(int64_t n, int32_t dim, const float* vecs,
+                       const int64_t* order, void* out, float* scales,
+                       int32_t mode) {
+  float qmax = mode == 8 ? 127.0f : 7.0f;
+  float qlo = -qmax, qhi = qmax;
+  int8_t* out8 = mode == 8 ? static_cast<int8_t*>(out) : nullptr;
+  uint8_t* out4 = mode == 4 ? static_cast<uint8_t*>(out) : nullptr;
+  const int64_t chunk = 16384;
+  int parts = static_cast<int>((n + chunk - 1) / chunk);
+  if (parts <= 1) {
+    quantize_rows_range(vecs, order, dim, 0, n, qmax, qlo, qhi, mode, out8,
+                        out4, scales);
+    return;
+  }
+  Pool::get().run(parts, [&](int pi) {
+    int64_t lo = static_cast<int64_t>(pi) * chunk;
+    int64_t hi = lo + chunk < n ? lo + chunk : n;
+    quantize_rows_range(vecs, order, dim, lo, hi, qmax, qlo, qhi, mode, out8,
+                        out4, scales);
+  });
+}
+
+}  // extern "C"

@@ -167,6 +167,11 @@ class HierParameterServer:
         # state).
         if params.embedding_cache_type == EmbeddingCacheType.UVM:
             init_rate = 1.0
+        # Tables load serially ON PURPOSE: the bulk insert underneath is
+        # already partition-parallel (native parallel_parts), so k-wide
+        # table parallelism just multiplies thread count and peak RSS —
+        # measured 4x SLOWER than serial at 4 x 512 MB tables (core
+        # oversubscription + k in-flight full-size read buffers).
         for t, path in enumerate(params.sparse_files):
             tag = table_tag(params.model_name, params.table_name(t))
             dim = params.embedding_vecsize_per_table[t]
@@ -216,8 +221,11 @@ class HierParameterServer:
         from hugectr_backend_tpu.tiers.hbm import build_arena_views
 
         quant = self._quant_mode(params)
-        host_tables, defaults, dims = [], [], []
-        for t in range(params.num_tables):
+
+        def prep_table(t: int):
+            """Fetch one table's resident rows from the tiers (worker-pool
+            parallel across tables, reference worker-buffer semantics — the
+            tier stores take shared locks for bulk reads)."""
             tag = table_tag(params.model_name, params.table_name(t))
             all_keys = self._tier_keys(tag)
             frac = params.cache_size_percentage if params.use_gpu_embedding_cache else 1.0
@@ -228,13 +236,21 @@ class HierParameterServer:
             resident_keys = all_keys[:n_resident]
             if n_resident > 0:
                 vecs, found = self._query_tiers(tag, resident_keys)
-                resident_keys = resident_keys[found]
-                vecs = vecs[found]
+                if not found.all():  # skip two full-table copies when cold
+                    resident_keys = resident_keys[found]
+                    vecs = vecs[found]
             else:
                 vecs = np.zeros((0, params.embedding_vecsize_per_table[t]), np.float32)
-            host_tables.append((resident_keys, vecs))
-            defaults.append(params.default_value_for_table(t))
-            dims.append(params.embedding_vecsize_per_table[t])
+            return resident_keys, vecs
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max(params.num_of_worker_buffer_in_pool, 1), 8)
+        ) as ex:
+            host_tables = list(ex.map(prep_table, range(params.num_tables)))
+        defaults = [params.default_value_for_table(t) for t in range(params.num_tables)]
+        dims = list(params.embedding_vecsize_per_table)
 
         # Grouping policy (slope-timed v5e measurements — see
         # tiers/hbm.py DeviceArena and cache/lookup_program.py):

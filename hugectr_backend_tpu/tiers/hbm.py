@@ -326,7 +326,8 @@ class DeviceTable:
     ) -> "DeviceTable":
         vectors = np.asarray(vectors, dtype=np.float32)
         index, order = KeyIndex.build(keys)
-        vals, scales = quantize_host_rows(vectors[order], quant, default_value)
+        vals, scales = quantize_host_rows(vectors, quant, default_value,
+                                          order=order)
         dim = int(vectors.shape[1])  # logical dim (int4 stores dim//2 bytes)
         vals, scales = _maybe_block(vals, scales, int(vals.shape[1]))
 
@@ -352,12 +353,21 @@ class DeviceTable:
         return int(n)
 
 
-def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant, default_value: float):
+def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant,
+                       default_value: float,
+                       order: "np.ndarray | None" = None):
     """Quantize sorted rows + append the default (miss) row.
-    -> (vals [n+1, dim], scales [n+1] or None), host numpy arrays."""
+    -> (vals [n+1, dim], scales [n+1] or None), host numpy arrays.
+
+    ``order`` (optional): output row i comes from source row ``order[i]`` —
+    the int8/int4 native quantizer folds this gather into its single pass,
+    skipping a full-table reorder copy on the load path."""
     dim = int(vectors_sorted.shape[1])
+    if quant in ("fp32", "bf16", "fp8") and order is not None:
+        vectors_sorted = vectors_sorted[order]
+        order = None
     if quant == "int8":
-        q, s = quantize_rows_int8(vectors_sorted)
+        q, s = quantize_rows_int8(vectors_sorted, order=order)
         dq, ds = _default_row_quant(dim, default_value, INT8_QMAX)
         vals = np.concatenate([q, np.clip(dq, -127, 127)[None].astype(np.int8)])
         scales = np.concatenate([s, ds[None]])
@@ -377,7 +387,7 @@ def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant, default_value: 
 
         if dim % 2:
             raise ValueError("int4 tables require an even embedding dim")
-        q, s = quantize_rows_int4(vectors_sorted)
+        q, s = quantize_rows_int4(vectors_sorted, order=order)
         dq, ds = _default_row_quant(dim, default_value, INT4_QMAX)
         dpack = pack_int4(np.clip(dq, -7, 7).astype(np.int8)[None])
         vals = np.concatenate([q, dpack])
@@ -507,15 +517,30 @@ def build_arena_views(
     if not tables:
         return []
     default_values = default_values or [0.0] * len(tables)
-    vals_parts, scales_parts, views_meta = [], [], []
-    offset = 0
     dim = int(np.asarray(tables[0][1]).shape[1])
-    for (keys, vectors), dv in zip(tables, default_values):
+
+    def prep_member(args):
+        """Index + quantize one member (the heavy per-table host work: the
+        native quantizer/index release the GIL, so members overlap)."""
+        (keys, vectors), dv = args
         vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.shape[1] != dim:
             raise ValueError("arena members must share the embedding dim")
         index, order = KeyIndex.build(keys)
-        v, s = quantize_host_rows(vectors[order], quant, dv)
+        v, s = quantize_host_rows(vectors, quant, dv, order=order)
+        return index, v, s
+
+    if len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(tables), 8)) as ex:
+            prepped = list(ex.map(prep_member, zip(tables, default_values)))
+    else:
+        prepped = [prep_member(a) for a in zip(tables, default_values)]
+
+    vals_parts, scales_parts, views_meta = [], [], []
+    offset = 0
+    for (index, v, s), dv in zip(prepped, default_values):
         vals_parts.append(v)
         if s is not None:
             scales_parts.append(s)
