@@ -524,6 +524,13 @@ namespace {
 struct Pool {
   std::vector<std::thread> workers;
   std::mutex mu;
+  // Serializes whole run() calls: cv_done.wait releases `mu`, so without
+  // this a second concurrent run() could overwrite fn/total/next while the
+  // first generation's workers are still fetching — they'd execute the OLD
+  // fn with the NEW bounds. Callers (quantize, translate) each saturate the
+  // cores anyway, so queueing concurrent runs costs nothing. NOTE: never
+  // call run() from inside a pool task — it would self-deadlock here.
+  std::mutex run_mu;
   std::condition_variable cv_work, cv_done;
   const std::function<void(int)>* fn = nullptr;
   int total = 0;
@@ -575,6 +582,7 @@ struct Pool {
       for (int i = 0; i < n; ++i) f(i);
       return;
     }
+    std::lock_guard<std::mutex> run_lock(run_mu);
     std::unique_lock<std::mutex> lock(mu);
     fn = &f;
     total = n;

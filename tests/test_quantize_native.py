@@ -57,3 +57,32 @@ def test_order_fusion_matches_reorder_then_quantize():
 def test_empty_table():
     q, s = quantize_rows_int8(np.zeros((0, 8), np.float32))
     assert q.shape == (0, 8) and s.shape == (0,)
+
+
+def test_concurrent_pool_runs_no_corruption():
+    """Concurrent native quantize/translate calls must not corrupt each
+    other: Pool::run serializes whole generations (a cv_done wait releases
+    the pool mutex, so without run_mu a second caller could swap fn/bounds
+    under the first generation's workers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hugectr_backend_tpu.tiers.hbm import KeyIndex
+
+    rng = np.random.default_rng(3)
+    vs = [rng.standard_normal((20_000, 32)).astype(np.float32) for _ in range(4)]
+    expected = [quantize_rows_int8(v) for v in vs]
+    keys = np.sort(rng.choice(120_000, 40_000, replace=False).astype(np.int64))
+    idx, _ = KeyIndex.build(keys)
+    q = keys[rng.integers(0, 40_000, 20_000)]
+    exp_slots = idx.lookup(q)
+
+    def work(i):
+        for _ in range(3):
+            qv, sv = quantize_rows_int8(vs[i % 4])
+            np.testing.assert_array_equal(qv, expected[i % 4][0])
+            np.testing.assert_array_equal(sv, expected[i % 4][1])
+            np.testing.assert_array_equal(idx.lookup(q), exp_slots)
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(work, range(12)))
