@@ -339,6 +339,13 @@ class _Handler(BaseHTTPRequestHandler):
             for t in req.get("inputs", []):
                 name = t.get("name")
                 dt = t.get("datatype", "FP32")
+                # HPS wire-contract datatypes are fixed (reference
+                # hps.cc:446-478 rejects mismatches before touching data).
+                want = {"KEYS": "INT64", "NUMKEYS": "INT32"}.get(name)
+                if want is not None and dt != want:
+                    return self._error(
+                        400, f"input {name} must be {want}, got {dt}"
+                    )
                 shape = t.get("shape")
                 bsize = t.get("parameters", {}).get("binary_data_size")
                 if bsize is not None:
@@ -351,7 +358,15 @@ class _Handler(BaseHTTPRequestHandler):
                     wire = self._WIRE_DT.get(dt, "<f4")
                     arr = np.asarray(t.get("data", []), dtype=np.dtype(wire))
                 if shape:
-                    arr = arr.reshape([int(d) for d in shape])
+                    dims = [int(d) for d in shape]
+                    if any(d < 0 for d in dims):
+                        # request shapes must be concrete (numpy would treat
+                        # ANY negative as a reshape wildcard and silently
+                        # accept it)
+                        return self._error(
+                            400, f"input {name}: negative dim in shape {dims}"
+                        )
+                    arr = arr.reshape(dims)
                 inputs[name] = arr
         except (TypeError, ValueError) as e:
             return self._error(400, f"bad tensor data: {e}")
@@ -431,9 +446,29 @@ class _Handler(BaseHTTPRequestHandler):
 
         def tensor_data(order, name, dtype):
             t = tensors[name]
+            # Datatype/shape validation before touching data (reference
+            # hps.cc:446-478 rejects mismatched input properties).
+            want = {"KEYS": "INT64", "NUMKEYS": "INT32"}[name]
+            declared = t.get("datatype", want)
+            if declared != want:
+                raise ValueError(f"input {name} must be {want}, got {declared}")
+            shape = t.get("shape")
+            dims = None
+            if shape is not None:
+                dims = [int(d) for d in shape]
+                if any(d < 0 for d in dims):
+                    raise ValueError(
+                        f"input {name}: negative dim in shape {dims}"
+                    )
             bsize = t.get("parameters", {}).get("binary_data_size")
             if bsize is None:
-                return np.asarray(t.get("data", []), dtype=dtype)
+                arr = np.asarray(t.get("data", []), dtype=dtype)
+                if dims is not None and arr.size != int(np.prod(dims)):
+                    raise ValueError(
+                        f"input {name}: shape {dims} does not match "
+                        f"{arr.size} data elements"
+                    )
+                return arr
             # Binary payloads appear in the declared input order.
             offset = 0
             for other in req.get("inputs", []):

@@ -254,3 +254,63 @@ def test_binary_tensor_extension(served):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_malformed_payload_fuzz(served):
+    """Garbage requests must yield 4xx error responses — never kill the
+    server or wedge the batcher (reference GUARDED_RESPOND posture,
+    triton_common.hpp:62-76). A known-good request must still succeed after
+    the storm."""
+    import urllib.error
+
+    server, tbl, _root = served
+    url = f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer"
+    payloads = [
+        b"",                                   # empty body
+        b"\x00\xff\x13garbage",                # not JSON
+        b"{",                                  # truncated JSON
+        b"[]",                                 # wrong top-level type
+        json.dumps({"inputs": "nope"}).encode(),
+        json.dumps({"inputs": [{}]}).encode(),
+        json.dumps({"inputs": [
+            {"name": "KEYS", "datatype": "FP64", "shape": [1], "data": [1]},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [1]},
+        ]}).encode(),                           # wrong dtype
+        json.dumps({"inputs": [
+            {"name": "KEYS", "datatype": "INT64", "shape": [2], "data": [1]},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [1]},
+        ]}).encode(),                           # shape/data mismatch
+        json.dumps({"inputs": [
+            {"name": "KEYS", "datatype": "INT64", "shape": [-3], "data": []},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1], "data": [0]},
+        ]}).encode(),                           # negative shape
+    ]
+    rng = np.random.default_rng(13)
+    for _ in range(4):  # plus some random byte soup
+        payloads.append(rng.bytes(int(rng.integers(1, 300))))
+    for body in payloads:
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                raise AssertionError(
+                    f"malformed payload accepted (status {r.status}): {body[:40]!r}"
+                )
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 600, body[:40]
+    # the server still answers a valid request correctly
+    q = tbl.keys[[5, 6, 7]]
+    status, resp = _post(server, "/v2/models/dlrm/infer", {
+        "inputs": [
+            {"name": "KEYS", "datatype": "INT64",
+             "shape": [1, 3], "data": [int(k) for k in q]},
+            {"name": "NUMKEYS", "datatype": "INT32", "shape": [1, 1],
+             "data": [3]},
+        ],
+        "outputs": [{"name": "OUTPUT0"}],
+    })
+    assert status == 200
+    out = np.asarray(resp["outputs"][0]["data"], np.float32).reshape(3, 16)
+    np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)
