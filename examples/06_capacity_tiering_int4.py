@@ -74,10 +74,12 @@ miss = sess.lookup_numpy([np.array([-12345], np.int64)])[0]
 assert np.allclose(miss, 0.0)
 print("missing key -> default row OK")
 
-# Capacity math this configuration buys per chip:
-int8_bytes = ROWS * DIM  # 1 B per element
-int4_bytes = ROWS * DIM // 2 + ROWS * 4  # packed + f32 scales
+# Capacity math this configuration buys per chip (both flavors carry f32
+# per-row scales; the ratio approaches 2x as DIM grows past the scale cost).
+int8_bytes = ROWS * DIM + ROWS * 4       # 1 B/element + f32 scales
+int4_bytes = ROWS * DIM // 2 + ROWS * 4  # packed nibbles + f32 scales
 print(
     f"full-table bytes: int8 {int8_bytes/1e6:.1f} MB vs int4 "
-    f"{int4_bytes/1e6:.1f} MB ({int8_bytes/int4_bytes:.2f}x more rows per byte)"
+    f"{int4_bytes/1e6:.1f} MB ({int8_bytes/int4_bytes:.2f}x more rows per byte"
+    f" at dim {DIM}; -> 2x asymptotically)"
 )

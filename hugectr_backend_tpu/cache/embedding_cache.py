@@ -505,14 +505,17 @@ class EmbeddingCache:
         call WITHOUT the cache lock (this is the heavy part of a write)."""
         from hugectr_backend_tpu.ops.quantize import (
             quantize_rows_fp8,
+            quantize_rows_int4,
             quantize_rows_int8,
         )
 
         table = self.tables[table_idx]
-        if table.quant in ("int8", "fp8"):
-            quantize = (
-                quantize_rows_int8 if table.quant == "int8" else quantize_rows_fp8
-            )
+        if table.quant in ("int8", "fp8", "int4"):
+            quantize = {
+                "int8": quantize_rows_int8,
+                "fp8": quantize_rows_fp8,
+                "int4": quantize_rows_int4,  # -> packed uint8 [n, dim//2]
+            }[table.quant]
             q, s = quantize(np.asarray(vectors, np.float32))
             return (q, s)
         return (np.asarray(vectors, np.float32), None)

@@ -187,7 +187,7 @@ def translate_slotmaps_batch(slotmaps, keys_list, touch: bool = True):
     Falls back to the per-map loop when any map is the Python flavor.
     -> list of int32 slot arrays."""
     if not all(isinstance(m, NativeSlotMap) for m in slotmaps):
-        return [m.translate(np.asarray(k, np.int64).reshape(-1))
+        return [m.translate(np.asarray(k, np.int64).reshape(-1), touch=touch)
                 for m, k in zip(slotmaps, keys_list)]
     n = len(slotmaps)
     if n == 0:
@@ -202,22 +202,13 @@ def translate_slotmaps_batch(slotmaps, keys_list, touch: bool = True):
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
         lib._slotmap_batch_bound = True
-    keys_c = [np.ascontiguousarray(k, np.int64).reshape(-1) for k in keys_list]
-    outs = [np.empty(k.shape[0], np.int32) for k in keys_c]
-    handles = (ctypes.c_void_p * n)(*[m.handle for m in slotmaps])
-    counts = np.array([k.shape[0] for k in keys_c], np.int64)
-    miss = np.array([m.miss_slot for m in slotmaps], np.int32)
-    kp = (ctypes.POINTER(ctypes.c_int64) * n)(
-        *[k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for k in keys_c]
+    from hugectr_backend_tpu.native.kvstore import batch_translate_args
+
+    outs, args, keepalive = batch_translate_args(
+        [m.handle for m in slotmaps],
+        keys_list,
+        [m.miss_slot for m in slotmaps],
     )
-    op = (ctypes.POINTER(ctypes.c_int32) * n)(
-        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for o in outs]
-    )
-    lib.hps_slotmap_translate_batch(
-        n, handles,
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        kp, op,
-        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        1 if touch else 0,
-    )
+    lib.hps_slotmap_translate_batch(*args, 1 if touch else 0)
+    del keepalive
     return outs

@@ -513,6 +513,8 @@ int64_t hps_slotmap_keys(void* h, int64_t* out_keys, int32_t* out_slots,
 // the numpy searchsorted index it replaces (tiers/hbm.py KeyIndex).
 // ---------------------------------------------------------------------------
 
+#include <pthread.h>
+
 #include <condition_variable>
 #include <functional>
 
@@ -539,9 +541,34 @@ struct Pool {
   uint64_t gen = 0;
   bool stop = false;
 
+  // Heap singleton behind an atomic slot, NOT a function-local static:
+  // fork() duplicates no worker threads, so a child inheriting a live Pool
+  // would hang forever on its first run(). An atfork child handler nulls
+  // the slot (leaking the stale object, whose threads do not exist in the
+  // child) and the next get() builds a fresh pool. Never destructed —
+  // also avoids joining workers during static-destruction at exit.
+  static std::atomic<Pool*>& slot() {
+    static std::atomic<Pool*> s{nullptr};
+    return s;
+  }
+
   static Pool& get() {
-    static Pool p;
-    return p;
+    Pool* p = slot().load(std::memory_order_acquire);
+    if (p) return *p;
+    static std::mutex create_mu;
+    std::lock_guard<std::mutex> lk(create_mu);
+    p = slot().load(std::memory_order_acquire);
+    if (!p) {
+      static bool registered = [] {
+        pthread_atfork(nullptr, nullptr,
+                       [] { slot().store(nullptr, std::memory_order_release); });
+        return true;
+      }();
+      (void)registered;
+      p = new Pool();
+      slot().store(p, std::memory_order_release);
+    }
+    return *p;
   }
 
   Pool() {
@@ -572,8 +599,14 @@ struct Pool {
       }
       int i;
       while ((i = next.fetch_add(1)) < total) (*f)(i);
-      if (done.fetch_add(1) + 1 == static_cast<int>(workers.size()))
-        cv_done.notify_all();
+      // The done increment must happen under `mu`: run() checks the wait
+      // predicate while holding it, and an increment+notify issued between
+      // that check and the sleep would otherwise be lost forever.
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.fetch_add(1);
+      }
+      cv_done.notify_all();
     }
   }
 
@@ -856,18 +889,26 @@ void hps_quantize_rows(int64_t n, int32_t dim, const float* vecs,
   int8_t* out8 = mode == 8 ? static_cast<int8_t*>(out) : nullptr;
   uint8_t* out4 = mode == 4 ? static_cast<uint8_t*>(out) : nullptr;
   const int64_t chunk = 16384;
-  int parts = static_cast<int>((n + chunk - 1) / chunk);
+  int64_t parts = (n + chunk - 1) / chunk;
   if (parts <= 1) {
     quantize_rows_range(vecs, order, dim, 0, n, qmax, qlo, qhi, mode, out8,
                         out4, scales);
     return;
   }
-  Pool::get().run(parts, [&](int pi) {
-    int64_t lo = static_cast<int64_t>(pi) * chunk;
-    int64_t hi = lo + chunk < n ? lo + chunk : n;
-    quantize_rows_range(vecs, order, dim, lo, hi, qmax, qlo, qhi, mode, out8,
-                        out4, scales);
-  });
+  // Bulk loads submit WAVES of bounded pool generations instead of one
+  // giant run: run_mu serializes whole generations, so a hot-path translate
+  // (~1 ms) must never queue behind a multi-hundred-ms full-table quantize.
+  const int64_t wave = 32;  // ~0.5M rows per generation
+  for (int64_t base_part = 0; base_part < parts; base_part += wave) {
+    int wave_parts =
+        static_cast<int>(parts - base_part < wave ? parts - base_part : wave);
+    Pool::get().run(wave_parts, [&](int pi) {
+      int64_t lo = (base_part + pi) * chunk;
+      int64_t hi = lo + chunk < n ? lo + chunk : n;
+      quantize_rows_range(vecs, order, dim, lo, hi, qmax, qlo, qhi, mode,
+                          out8, out4, scales);
+    });
+  }
 }
 
 }  // extern "C"

@@ -353,3 +353,33 @@ class SharedMemoryDramKVTier(KVTier):
             for t in self._tables.values():
                 t.close(unlink=self.params.shared_memory_auto_remove)
             self._tables.clear()
+
+
+def batch_translate_args(handles, keys_list, miss_slots):
+    """Marshal the shared argument layout of the `*_translate_batch` C calls
+    (per-table handle/count/key-pointer/out-pointer/miss arrays).
+
+    -> (out_arrays, argtuple, keepalive): pass ``*argtuple`` to the C call
+    (it covers every parameter up to and including the miss pointer) and
+    hold ``keepalive`` until it returns (it owns the counts/miss numpy
+    buffers the pointers reference).
+    """
+    n = len(handles)
+    keys_c = [np.ascontiguousarray(k, np.int64).reshape(-1) for k in keys_list]
+    outs = [np.empty(k.shape[0], np.int32) for k in keys_c]
+    h = (ctypes.c_void_p * n)(*handles)
+    counts = np.array([k.shape[0] for k in keys_c], np.int64)
+    miss = np.asarray(miss_slots, np.int32)
+    kp = (ctypes.POINTER(ctypes.c_int64) * n)(
+        *[k.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for k in keys_c]
+    )
+    op = (ctypes.POINTER(ctypes.c_int32) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for o in outs]
+    )
+    args = (
+        n, h,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        kp, op,
+        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return outs, args, (keys_c, counts, miss)

@@ -240,12 +240,14 @@ class KServeGrpcService:
                         "(reference model_state.cpp:180-261)"
                     )
                 # Reject datatype mismatches instead of silently coercing
-                # (reference hps.cc:446-478; float keys would truncate).
+                # (reference hps.cc:446-478; float keys would truncate) —
+                # exactly the HTTP surface's contract: KEYS INT64,
+                # NUMKEYS INT32.
                 kdt = str(np.asarray(inputs["KEYS"]).dtype)
-                if kdt not in ("int64", "int32"):
+                if kdt != "int64":
                     raise RequestError(f"input KEYS must be INT64, got {kdt}")
                 ndt = str(np.asarray(inputs["NUMKEYS"]).dtype)
-                if ndt not in ("int32", "int64"):
+                if ndt != "int32":
                     raise RequestError(f"input NUMKEYS must be INT32, got {ndt}")
                 resp = self.manager.infer(
                     name,

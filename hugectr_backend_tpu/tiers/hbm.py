@@ -196,24 +196,15 @@ def translate_indexes_batch(indexes, keys_list):
         i = nat[0]
         out[i] = indexes[i]._native.translate(keys_c[i])
         return out
-    n = len(nat)
-    handles = (ctypes.c_void_p * n)(*[indexes[i]._native.handle for i in nat])
-    counts = np.array([keys_c[i].shape[0] for i in nat], np.int64)
-    miss = np.array([indexes[i]._native.miss_slot for i in nat], np.int32)
-    outs = [np.empty(keys_c[i].shape[0], np.int32) for i in nat]
-    kp = (ctypes.POINTER(ctypes.c_int64) * n)(
-        *[keys_c[i].ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) for i in nat]
+    from hugectr_backend_tpu.native.kvstore import batch_translate_args
+
+    outs, args, keepalive = batch_translate_args(
+        [indexes[i]._native.handle for i in nat],
+        [keys_c[i] for i in nat],
+        [indexes[i]._native.miss_slot for i in nat],
     )
-    op = (ctypes.POINTER(ctypes.c_int32) * n)(
-        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for o in outs]
-    )
-    lib = indexes[nat[0]]._native.lib
-    lib.hps_statmap_translate_batch(
-        n, handles,
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        kp, op,
-        miss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-    )
+    indexes[nat[0]]._native.lib.hps_statmap_translate_batch(*args)
+    del keepalive
     for j, i in enumerate(nat):
         out[i] = outs[j]
     return out
@@ -494,7 +485,9 @@ class ArenaView:
         return self.index.lookup(keys)
 
     def nbytes(self) -> int:
-        n = (self.capacity + 1) * self.dim * self.arena.values.dtype.itemsize
+        # Stored width, not the logical dim (int4 packs dim//2 bytes/row).
+        stored_w = int(self.arena.values.shape[-1])
+        n = (self.capacity + 1) * stored_w * self.arena.values.dtype.itemsize
         if self.arena.scales is not None:
             n += (self.capacity + 1) * 4
         return int(n)

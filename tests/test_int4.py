@@ -155,3 +155,35 @@ def test_auc_parity_int4_vs_fp32(tmp_path):
     s4 = score(ps4, "int4")
     labels = (s32 + rng.standard_normal(n) * np.std(s32) > np.median(s32)).astype(int)
     assert abs(_auc(labels, s32) - _auc(labels, s4)) < 1e-2
+
+
+def test_dynamic_int4_cache_insert_on_miss(tmp_path):
+    """Online insert/refresh on a quant_bits=4 table must pack rows before
+    the scatter (regression: raw f32 [n, dim] rows scattered into the packed
+    [rows, dim//2] uint8 array crashed the first lookup below the hit-rate
+    threshold)."""
+    from hugectr_backend_tpu import HierParameterServer, LookupSession
+    from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+    from hugectr_backend_tpu.io.synthetic import expected_vector, make_synthetic_table
+
+    tbl = make_synthetic_table(2_000, 16, seed=60)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(json.dumps({"models": [{
+        "model": "m",
+        "sparse_files": [str(tmp_path / "t0")],
+        "embedding_vecsize_per_table": [16],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "max_batch_size": 64,
+        "gpucacheper": 0.2,           # 80% of keys start as cache misses
+        "embedding_cache_type": "uvm",  # the example-06 configuration
+        "hit_rate_threshold": 1.0,      # miss inserts stay synchronous
+        "quant_bits": 4,
+    }]}))
+    sess = LookupSession.create(ps.get_model_params("m"), ps.get_embedding_cache("m", 0))
+    rng = np.random.default_rng(61)
+    q = tbl.keys[rng.integers(0, 2_000, 200)]
+    out = sess.lookup_numpy([q])[0]   # crashes without the int4 branch
+    assert np.abs(out - expected_vector(q, 16)).max() <= 1 / 14 + 1e-5
+    # the re-lookup serves the now-cached rows with the same bound
+    out2 = sess.lookup_numpy([q])[0]
+    assert np.abs(out2 - expected_vector(q, 16)).max() <= 1 / 14 + 1e-5
