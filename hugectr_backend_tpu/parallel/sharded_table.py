@@ -99,6 +99,17 @@ class ShardedTable:
                 [q, np.zeros((pad_rows, dim), np.int8)]
             )
             scales = np.concatenate([s, np.ones(pad_rows, np.float32)])
+        elif quant == "int4":
+            # Nibble-packed rows ([R, D//2] uint8) — the natural flavor for
+            # the sharded capacity path (2x int8's rows per shard HBM byte;
+            # the shard_map gathers unpack on-device, see _rows_to_f32).
+            from hugectr_backend_tpu.ops.quantize import quantize_rows_int4
+
+            q, s = quantize_rows_int4(vectors)
+            vals = np.concatenate(
+                [q, np.zeros((pad_rows, dim // 2), np.uint8)]
+            )
+            scales = np.concatenate([s, np.ones(pad_rows, np.float32)])
         elif quant in ("fp32", "bf16"):
             dt = np.float32 if quant == "fp32" else jnp.bfloat16
             vals = np.concatenate(
@@ -107,9 +118,9 @@ class ShardedTable:
             scales = None
         else:
             raise ValueError(f"unsupported quant {quant!r} for sharded tables")
-        if quant == "int8" and default_value != 0.0:
+        if quant in ("int8", "int4") and default_value != 0.0:
             raise NotImplementedError(
-                "sharded int8 tables currently support default_value 0.0"
+                f"sharded {quant} tables currently support default_value 0.0"
             )
 
         vsharding = NamedSharding(mesh, P("table", None))
@@ -138,6 +149,15 @@ class ShardedTable:
         return int(n // n_shards)
 
 
+def _rows_to_f32(rows: jax.Array) -> jax.Array:
+    """Gathered rows -> f32, unpacking nibble-packed int4 (uint8 storage)."""
+    if rows.dtype == jnp.uint8:
+        from hugectr_backend_tpu.tiers.hbm import _unpack_int4_device
+
+        return _unpack_int4_device(rows)
+    return rows.astype(jnp.float32)
+
+
 def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int):
     """Build the shard_map psum-lookup: (values, scales, slots) -> [N, D]."""
     n_shards = mesh.shape["table"]
@@ -150,7 +170,7 @@ def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int):
         local = slots - base
         mine = (local >= 0) & (local < shard_rows)
         safe = jnp.where(mine, local, 0)
-        rows = jnp.take(values_l, safe, axis=0).astype(jnp.float32)
+        rows = _rows_to_f32(jnp.take(values_l, safe, axis=0))
         if scales_l is not None:
             rows = rows * jnp.take(scales_l, safe)[:, None]
         rows = jnp.where(mine[:, None], rows, 0.0)
@@ -224,7 +244,7 @@ def _a2a_shardmap(mesh: Mesh, has_scales: bool):
         o = jax.lax.axis_index("table")
         mine = jax.lax.dynamic_index_in_dim(buckets, o, axis=0,
                                             keepdims=False)  # [cap]
-        rows = jnp.take(values_l, mine, axis=0).astype(jnp.float32)
+        rows = _rows_to_f32(jnp.take(values_l, mine, axis=0))
         if scales_l is not None:
             rows = rows * jnp.take(scales_l, mine)[:, None]
         allr = jax.lax.all_gather(rows, "table", axis=0)  # [n, cap, D]

@@ -189,3 +189,65 @@ def test_load_unload_cycle(served):
     resp = client.call("ModelInfer", _infer_request(keys, [52]),
                        pb2.ModelInferResponse)
     assert resp.parameters["NumSample"].int64_param == 2
+
+
+def test_malformed_request_fuzz(served):
+    """Malformed gRPC requests must map to INVALID_ARGUMENT (never crash or
+    wedge the service), mirroring the HTTP fuzz test. A valid request still
+    succeeds afterward."""
+    client, tbl = served
+
+    def expect_invalid(req):
+        with pytest.raises(grpc.RpcError) as e:
+            client.call("ModelInfer", req, pb2.ModelInferResponse)
+        assert e.value.code() in (
+            grpc.StatusCode.INVALID_ARGUMENT,
+            grpc.StatusCode.NOT_FOUND,
+        ), e.value.details()
+
+    # wrong KEYS datatype (FP64 keys would silently truncate if coerced)
+    req = pb2.ModelInferRequest(model_name="dlrm")
+    ki = req.inputs.add()
+    ki.name, ki.datatype = "KEYS", "FP64"
+    ki.shape.append(1)
+    ki.contents.fp64_contents.append(1.5)
+    ni = req.inputs.add()
+    ni.name, ni.datatype = "NUMKEYS", "INT32"
+    ni.shape.append(1)
+    ni.contents.int_contents.append(1)
+    expect_invalid(req)
+
+    # wrong NUMKEYS datatype
+    req = _infer_request([1, 2], [2], raw=False)
+    req.inputs[1].datatype = "INT64"
+    del req.inputs[1].contents.int_contents[:]
+    req.inputs[1].contents.int64_contents.append(2)
+    expect_invalid(req)
+
+    # raw bytes not a multiple of the itemsize
+    req = _infer_request([1, 2], [2])
+    req.raw_input_contents[0] = req.raw_input_contents[0][:-3]
+    expect_invalid(req)
+
+    # shape/data mismatch
+    req = _infer_request([1, 2, 3], [3], raw=False)
+    req.inputs[0].shape[0] = 7
+    expect_invalid(req)
+
+    # unsupported datatype string
+    req = _infer_request([1], [1], raw=False)
+    req.inputs[0].datatype = "COMPLEX128"
+    expect_invalid(req)
+
+    # NUMKEYS sum disagreeing with KEYS length
+    req = _infer_request([1, 2, 3, 4], [99], raw=False)
+    expect_invalid(req)
+
+    # the service still answers a valid request
+    q = tbl.keys[[1, 2, 3]]
+    resp = client.call(
+        "ModelInfer", _infer_request([int(k) for k in q], [3]),
+        pb2.ModelInferResponse,
+    )
+    out = np.frombuffer(resp.raw_output_contents[0], "<f4").reshape(3, 16)
+    np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)

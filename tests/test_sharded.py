@@ -127,3 +127,23 @@ def test_a2a_on_data_table_mesh(mesh_2x4):
     q = tbl.keys[np.random.default_rng(2).integers(0, 512, 77)]
     out = np.asarray(sharded_lookup(st, st.slots_for(q), strategy="all_to_all"))
     np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-6)
+
+
+def test_sharded_int4_both_strategies(mesh8):
+    """int4 nibble-packed sharded tables (the capacity pairing: sharding is
+    the huge-table path, int4 is the huge-table flavor): both strategies
+    unpack on-device and agree with the host dequant bound."""
+    tbl = make_synthetic_table(3000, 16, seed=36)
+    st = ShardedTable.from_numpy(tbl.keys, tbl.vectors, mesh8, quant="int4")
+    assert st.values.dtype == jnp.uint8 and st.values.shape[1] == 8
+    q = tbl.keys[np.random.default_rng(6).integers(0, 3000, 400)]
+    slots = st.slots_for(q)
+    ref = expected_vector(q, 16)
+    for strategy in ("psum", "all_to_all"):
+        out = np.asarray(sharded_lookup(st, jnp.asarray(slots),
+                                        strategy=strategy))
+        assert np.abs(out - ref).max() <= 1 / 14 + 1e-5, strategy
+    # misses -> zeros via the zero-packed padding rows
+    mslots = st.slots_for(np.array([-7, 10**12], np.int64))
+    out = np.asarray(sharded_lookup(st, jnp.asarray(mslots)))
+    np.testing.assert_array_equal(out, np.zeros((2, 16), np.float32))
