@@ -206,29 +206,81 @@ def read_sparse_model(
 # ---------------------------------------------------------------------------
 
 
+# format name -> (file name, numpy dtype, stored width divisor)
+_SIDECAR_FMT = {
+    "int8-rowwise": ("emb_vector.q8", np.int8, 1),
+    "int4-rowwise": ("emb_vector.q4", np.uint8, 2),  # nibble-packed
+}
+
+
 def write_quantized_sidecar(
     table_dir: str | os.PathLike,
     qvalues: np.ndarray,
     scales: np.ndarray,
     fmt: str = "int8-rowwise",
+    logical_dim: "int | None" = None,
 ) -> None:
+    """``logical_dim`` is required for packed formats (int4 stores dim//2
+    bytes per row); for int8 it defaults to qvalues' width."""
+    if fmt not in _SIDECAR_FMT:
+        raise ValueError(f"unknown sidecar format {fmt!r}")
+    fname, dtype, div = _SIDECAR_FMT[fmt]
     d = _check_local(table_dir)
     d.mkdir(parents=True, exist_ok=True)
     qvalues = np.ascontiguousarray(qvalues)
     scales = np.ascontiguousarray(np.asarray(scales, dtype="<f4")).reshape(-1)
     if qvalues.shape[0] != scales.shape[0]:
         raise ValueError("qvalues and scales row counts differ")
-    (d / "emb_vector.q8").write_bytes(qvalues.astype(np.int8).tobytes())
+    dim = int(logical_dim if logical_dim is not None else qvalues.shape[1] * div)
+    if qvalues.shape[1] * div != dim:
+        raise ValueError(
+            f"qvalues width {qvalues.shape[1]} does not match dim {dim} "
+            f"for format {fmt}"
+        )
+    (d / fname).write_bytes(qvalues.astype(dtype).tobytes())
     (d / "emb_vector.scale").write_bytes(scales.tobytes())
     (d / "quant_meta.json").write_text(
-        json.dumps({"format": fmt, "dim": int(qvalues.shape[1])})
+        json.dumps({"format": fmt, "dim": dim})
     )
 
 
 def read_quantized_sidecar(table_dir: str | os.PathLike):
+    """-> (q, scales, meta); q is [rows, dim] int8 or [rows, dim//2] packed
+    uint8 depending on meta['format']."""
     d = _check_local(table_dir)
     meta = json.loads((d / "quant_meta.json").read_text())
+    fmt = meta.get("format", "int8-rowwise")
+    if fmt not in _SIDECAR_FMT:
+        raise ValueError(f"unknown sidecar format {fmt!r}")
+    fname, dtype, div = _SIDECAR_FMT[fmt]
     dim = int(meta["dim"])
-    q = np.frombuffer((d / "emb_vector.q8").read_bytes(), dtype=np.int8).reshape(-1, dim)
+    q = np.frombuffer((d / fname).read_bytes(), dtype=dtype).reshape(
+        -1, dim // div
+    )
     s = np.frombuffer((d / "emb_vector.scale").read_bytes(), dtype="<f4")
     return q.copy(), s.copy(), meta
+
+
+def sidecar_matches(table_dir: str | os.PathLike, quant: str) -> bool:
+    """True when a quantized sidecar exists for ``quant`` ('int8'/'int4') and
+    is at least as fresh as the f32 ``emb_vector`` it derives from (a stale
+    sidecar after re-training must never win)."""
+    fmt = {"int8": "int8-rowwise", "int4": "int4-rowwise"}.get(quant)
+    if fmt is None:
+        return False
+    try:
+        d = _check_local(table_dir)
+    except Exception:
+        return False
+    fname, _, _ = _SIDECAR_FMT[fmt]
+    meta_p, q_p, vec_p = d / "quant_meta.json", d / fname, d / "emb_vector"
+    if not (meta_p.exists() and q_p.exists() and (d / "emb_vector.scale").exists()):
+        return False
+    try:
+        if json.loads(meta_p.read_text()).get("format") != fmt:
+            return False
+        if vec_p.exists() and q_p.stat().st_mtime < vec_p.stat().st_mtime:
+            return False
+    except Exception:
+        return False
+    return True
