@@ -52,7 +52,12 @@ class _HitRateMeter:
     (reference docs/hierarchical_parameter_server.md:175-179)."""
 
     def __init__(self, num_tables: int, alpha: float = 0.05):
-        self.rates = np.ones(num_tables, dtype=np.float64)
+        # Unobserved tables read 0.0: a stone-cold cache sits BELOW any
+        # hit_rate_threshold so its first miss batches insert synchronously
+        # (the reference fills cold caches sync — reference README.md:204-205;
+        # an optimistic init of 1.0 inverted that for the first ~2+ batches).
+        self.rates = np.zeros(num_tables, dtype=np.float64)
+        self._seen = np.zeros(num_tables, dtype=bool)
         self.alpha = alpha
         self._lock = threading.Lock()
 
@@ -61,6 +66,12 @@ class _HitRateMeter:
             return
         with self._lock:
             r = hits / total
+            if not self._seen[table_idx]:
+                # First observation seeds the EWMA directly (no decay-in
+                # from an arbitrary prior).
+                self._seen[table_idx] = True
+                self.rates[table_idx] = r
+                return
             self.rates[table_idx] += self.alpha * (r - self.rates[table_idx])
 
     def rate(self, table_idx: int) -> float:

@@ -10,8 +10,16 @@ using the v0 wire versions of four APIs —
 
 with MessageSet v0 framing (offset i64 | size i32 | crc32 i32 | magic=0 |
 attrs=0 | key | value). v0 is the most widely accepted subset: every Apache
-Kafka broker from 0.8 through 3.x speaks it (Kafka 4.0 dropped the v0/v1
-message format — deployments there can bridge via the file queue).
+Kafka broker from 0.8 through 3.x speaks it. Kafka 4.0 dropped the v0/v1
+message format (KIP-896); the client DETECTS that at connect time via
+ApiVersions(18) and fails with an actionable error (bridge via the file
+queue there) instead of silently misbehaving.
+
+Topics may be multi-partition: the consumer fetches EVERY partition
+returned by Metadata (per-partition local offsets), and the producer
+assigns partitions by message-key murmur2 — the stock Kafka default
+partitioner, so ordering per table tag is preserved and a trainer-side
+Java/librdkafka producer hashes to the same partitions.
 
 Mapping (mirrors the reference's one-topic-per-embedding-table layout,
 README.md:215):
@@ -54,6 +62,39 @@ _API_PRODUCE = 0
 _API_FETCH = 1
 _API_LIST_OFFSETS = 2
 _API_METADATA = 3
+_API_VERSIONS = 18
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's default-partitioner hash (org.apache.kafka.common.utils.Utils
+    .murmur2) — produces the same partition assignment as a stock Java/
+    librdkafka producer for a given message key."""
+    m, r = 0x5BD1E995, 24
+    h = (0x9747B28C ^ len(data)) & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = ((h * m) & 0xFFFFFFFF) ^ k
+    extra = len(data) % 4
+    base = n4 * 4
+    if extra >= 3:
+        h ^= data[base + 2] << 16
+    if extra >= 2:
+        h ^= data[base + 1] << 8
+    if extra >= 1:
+        h ^= data[base]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, num_partitions: int) -> int:
+    return (murmur2(key) & 0x7FFFFFFF) % max(num_partitions, 1)
 
 
 # ---------------------------------------------------------------- encoding
@@ -222,6 +263,44 @@ class KafkaClient:
 
     # -- APIs (all v0) -----------------------------------------------------
 
+    def api_versions(self) -> "dict[int, tuple[int, int]]":
+        """ApiVersions v0 -> {api_key: (min_version, max_version)}.
+
+        Supported by every Apache Kafka broker since 0.10; pre-0.10 brokers
+        close the connection on the unknown API (callers treat that as
+        "v0 speaks everywhere", which is true there)."""
+        r = self._roundtrip(_API_VERSIONS, 0, b"")
+        err = r.i16()
+        if err:
+            raise IOError(f"kafka ApiVersions error {err}")
+        out = {}
+        for _ in range(r.i32()):
+            api = r.i16()
+            out[api] = (r.i16(), r.i16())
+        return out
+
+    def check_v0_compat(self) -> None:
+        """Fail fast with an actionable error when the broker no longer
+        accepts the v0 wire versions this client speaks (Kafka 4.0 dropped
+        v0/v1 message-format and the oldest request versions — KIP-896)."""
+        try:
+            vers = self.api_versions()
+        except (OSError, EOFError):
+            # Pre-0.10 broker (drops unknown APIs): v0 is all it speaks.
+            return
+        for api, name in ((_API_PRODUCE, "Produce"), (_API_FETCH, "Fetch"),
+                          (_API_LIST_OFFSETS, "ListOffsets"),
+                          (_API_METADATA, "Metadata")):
+            lo, _hi = vers.get(api, (0, 0))
+            if lo > 0:
+                raise IOError(
+                    f"kafka broker at {self.bootstrap[0]}:{self.bootstrap[1]}"
+                    f" requires {name} >= v{lo}; this transport speaks the"
+                    " v0 wire subset (dropped in Kafka 4.0, KIP-896). Use a"
+                    " <=3.x broker, or bridge updates through the file-queue"
+                    " update source (update_source.type=file_queue)."
+                )
+
     def metadata(self, topics: "Optional[list[str]]" = None):
         """-> (brokers {node: (host, port)}, topics {name: [partition ids]})."""
         if topics is None:
@@ -353,25 +432,57 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                  offsets_path: Optional[str] = None):
         bootstrap = brokers.split(",")[0].strip()
         self.client = KafkaClient(bootstrap, recv_buffer=receive_buffer_size)
-        self._offsets: dict[str, int] = {}
+        self._compat_checked = False
+        self._nparts: dict[str, int] = {}  # topic -> partition count (cached)
+        # Offsets are per (topic, partition), persisted as "topic:pid" keys;
+        # a legacy plain-topic key (round-2 files) reads as partition 0.
+        self._offsets: dict[tuple[str, int], int] = {}
         self._offsets_path = Path(offsets_path) if offsets_path else None
         if self._offsets_path and self._offsets_path.exists():
-            self._offsets = {
-                k: int(v)
-                for k, v in json.loads(self._offsets_path.read_text()).items()
-            }
+            for k, v in json.loads(self._offsets_path.read_text()).items():
+                topic, _, pid = k.rpartition(":")
+                if topic and pid.isdigit():
+                    self._offsets[(topic, int(pid))] = int(v)
+                else:
+                    self._offsets[(k, 0)] = int(v)
+
+    def _ensure_compat(self):
+        if not self._compat_checked:
+            self.client.check_v0_compat()
+            self._compat_checked = True
+
+    def _partitions(self, topic: str, refresh: bool = False) -> int:
+        n = self._nparts.get(topic)
+        if n is None or refresh:
+            _, topics = self.client.metadata([topic])
+            n = len(topics.get(topic, [])) or 1
+            self._nparts[topic] = n
+        return n
 
     # -- producer ----------------------------------------------------------
 
     def post(self, table_tag: str, keys: np.ndarray, vectors: np.ndarray) -> int:
+        """Produce one update batch, partitioned by message-key hash (the
+        stock Kafka default partitioner, so per-table ordering holds on
+        multi-partition topics exactly as with a Java/librdkafka trainer-side
+        producer — reference doc:575-646)."""
+        self._ensure_compat()
         value = encode_update(np.asarray(vectors).shape[-1], keys, vectors)
-        return self.client.produce(
-            table_tag, 0, [(table_tag.encode(), value)]
-        )
+        key = table_tag.encode()
+        part = partition_for_key(key, self._partitions(table_tag))
+        try:
+            return self.client.produce(table_tag, part, [(key, value)])
+        except IOError:
+            # Partition count may have changed (or the cached metadata was
+            # for an auto-created placeholder): refresh once and retry.
+            part = partition_for_key(
+                key, self._partitions(table_tag, refresh=True))
+            return self.client.produce(table_tag, part, [(key, value)])
 
     # -- source ------------------------------------------------------------
 
     def poll(self, timeout_ms: int = 0) -> Iterator:
+        self._ensure_compat()
         try:
             _, topics = self.client.metadata()
         except OSError as e:
@@ -379,26 +490,32 @@ class KafkaQueueSource(MessageProducer, MessageSource):
         for topic in sorted(topics):
             if not topic.startswith(TOPIC_PREFIX):
                 continue
-            offset = self._offsets.get(topic)
-            if offset is None:
-                offset = self.client.list_offsets(topic, 0, -2)  # earliest
-            while True:
-                _, msgs = self.client.fetch(
-                    topic, 0, offset, max_wait_ms=timeout_ms
-                )
-                if not msgs:
-                    break
-                for moff, _key, value in msgs:
-                    keys, vecs = decode_update(value)
-                    offset = moff + 1
-                    self._offsets[topic] = offset
-                    yield topic, keys, vecs
+            self._nparts[topic] = len(topics[topic]) or 1
+            # EVERY partition: a multi-partition trainer-side topic loses no
+            # updates (round-2 consumed partition 0 only).
+            for pid in sorted(topics[topic]):
+                offset = self._offsets.get((topic, pid))
+                if offset is None:
+                    offset = self.client.list_offsets(topic, pid, -2)
+                while True:
+                    _, msgs = self.client.fetch(
+                        topic, pid, offset, max_wait_ms=timeout_ms
+                    )
+                    if not msgs:
+                        break
+                    for moff, _key, value in msgs:
+                        keys, vecs = decode_update(value)
+                        offset = moff + 1
+                        self._offsets[(topic, pid)] = offset
+                        yield topic, keys, vecs
 
     def commit(self) -> None:
         if self._offsets_path is None:
             return
         tmp = self._offsets_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(self._offsets))
+        tmp.write_text(json.dumps(
+            {f"{t}:{p}": off for (t, p), off in self._offsets.items()}
+        ))
         os.replace(tmp, self._offsets_path)
 
     def close(self) -> None:

@@ -1,13 +1,14 @@
-"""In-process Kafka-v0 mini broker (single node, single partition/topic).
+"""In-process Kafka-v0 mini broker (single node, N partitions/topic).
 
 Speaks the same protocol subset as update/kafka_lite.py — Produce(0),
-Fetch(1), ListOffsets(2), Metadata(3), all v0 with MessageSet v0 framing —
-so the ``kafka_message_queue`` transport can be integration-tested (and used
-as a lightweight single-host queue) with no external broker. Topics
-auto-create on first produce, logs are in-memory lists, offsets are dense
-per topic.
+Fetch(1), ListOffsets(2), Metadata(3) at v0 with MessageSet v0 framing,
+plus ApiVersions(18) v0 — so the ``kafka_message_queue`` transport can be
+integration-tested (and used as a lightweight single-host queue) with no
+external broker. Topics auto-create on first produce with
+``num_partitions`` partitions; logs are in-memory lists, offsets are dense
+per (topic, partition).
 
-    broker = MiniKafkaBroker().start()      # broker.port
+    broker = MiniKafkaBroker(num_partitions=3).start()   # broker.port
     ...
     broker.stop()
 """
@@ -29,15 +30,17 @@ from hugectr_backend_tpu.update.kafka_lite import (
 
 
 class MiniKafkaBroker:
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 num_partitions: int = 1):
         self.host = host
+        self.num_partitions = max(int(num_partitions), 1)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
         self._srv.listen(16)
         self.port = self._srv.getsockname()[1]
-        # topic -> list of (key|None, value); offset == list index
-        self.logs: dict[str, list] = {}
+        # (topic, partition) -> list of (key|None, value); offset == index
+        self.logs: dict[tuple[str, int], list] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -133,13 +136,21 @@ class MiniKafkaBroker:
             1: self._fetch,
             2: self._list_offsets,
             3: self._metadata,
+            18: self._api_versions,
         }[api](r)
         return struct.pack(">i", corr) + body
+
+    def _api_versions(self, r: _Reader) -> bytes:
+        apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (18, 0, 0)]
+        out = struct.pack(">hi", 0, len(apis))
+        for api, lo, hi in apis:
+            out += struct.pack(">hhh", api, lo, hi)
+        return out
 
     def _metadata(self, r: _Reader) -> bytes:
         want = [r.string() for _ in range(r.i32())]
         with self._lock:
-            names = want or sorted(self.logs)
+            names = want or sorted({t for t, _ in self.logs})
             out = struct.pack(">i", 1)  # one broker
             out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(
                 ">i", self.port
@@ -147,10 +158,11 @@ class MiniKafkaBroker:
             out += struct.pack(">i", len(names))
             for name in names:
                 out += struct.pack(">h", 0) + _enc_str(name)
-                out += struct.pack(">i", 1)  # one partition
-                out += struct.pack(">hii", 0, 0, 0)  # err, id 0, leader 0
-                out += struct.pack(">i", 1) + struct.pack(">i", 0)  # replicas
-                out += struct.pack(">i", 1) + struct.pack(">i", 0)  # isr
+                out += struct.pack(">i", self.num_partitions)
+                for pid in range(self.num_partitions):
+                    out += struct.pack(">hii", 0, pid, 0)  # err, id, leader
+                    out += struct.pack(">i", 1) + struct.pack(">i", 0)
+                    out += struct.pack(">i", 1) + struct.pack(">i", 0)
             return out
 
     def _produce(self, r: _Reader) -> bytes:
@@ -166,8 +178,11 @@ class MiniKafkaBroker:
                 pid = r.i32()
                 ms = r.take(r.i32())
                 msgs = decode_message_set(ms)
+                if not 0 <= pid < self.num_partitions:
+                    parts_out += struct.pack(">ihq", pid, 3, -1)  # UNKNOWN
+                    continue
                 with self._lock:
-                    log = self.logs.setdefault(topic, [])
+                    log = self.logs.setdefault((topic, pid), [])
                     base = len(log)
                     for _off, key, value in msgs:
                         log.append((key, value))
@@ -190,7 +205,7 @@ class MiniKafkaBroker:
                 offset = r.i64()
                 max_bytes = r.i32()
                 with self._lock:
-                    log = self.logs.get(topic, [])
+                    log = self.logs.get((topic, pid), [])
                     hw = len(log)
                     entries = log[offset : offset + 1000]
                 # Re-encode with REAL offsets.
@@ -217,7 +232,7 @@ class MiniKafkaBroker:
                 time_ms = r.i64()
                 r.i32()  # max offsets
                 with self._lock:
-                    log = self.logs.get(topic, [])
+                    log = self.logs.get((topic, pid), [])
                     off = 0 if time_ms == -2 else len(log)
                 out += struct.pack(">ih", pid, 0)
                 out += struct.pack(">i", 1) + struct.pack(">q", off)

@@ -71,11 +71,17 @@ def test_dynamic_insert_on_miss(dynamic_deploy):
     cache = ps.get_embedding_cache("dyn", 0)
     sess = LookupSession.create(ps.get_model_params("dyn"), cache)
     # Key outside the resident 200: first lookup misses (tier-merge serves it).
+    # Warm the hit meter above threshold first (all-hit batches) so this
+    # exercises the ASYNC insert path; the cold-cache sync path is asserted
+    # separately in test_cold_cache_first_miss_inserts_sync.
+    resident, _ = cache.slotmaps[0].resident()
+    sess.lookup_numpy([resident[:64]])
+    assert cache.hit_meter.rate(0) > 0.9
     cold_key = tbl.keys[500:501]
     assert cache.translate(0, cold_key)[0] == cache.slotmaps[0].miss_slot
     out = sess.lookup_numpy([cold_key])[0]
     np.testing.assert_allclose(out, expected_vector(cold_key, 8), rtol=1e-6)
-    # Hit rate starts ~1.0 (EWMA) -> above threshold -> async insert; wait.
+    # Above threshold -> async insert; wait for the drainer.
     deadline = time.time() + 10
     while time.time() < deadline:
         if cache.translate(0, cold_key)[0] != cache.slotmaps[0].miss_slot:
@@ -110,6 +116,22 @@ def test_sync_insert_below_threshold(dynamic_deploy):
     cold = tbl.keys[900:902]
     sess.lookup_numpy([cold])
     # Immediately resident (no wait): sync path.
+    assert (cache.translate(0, cold) != cache.slotmaps[0].miss_slot).all()
+
+
+def test_cold_cache_first_miss_inserts_sync(dynamic_deploy):
+    """A stone-cold dynamic cache must fill synchronously: with no hit-rate
+    observations the meter reads 0.0 (< hit_rate_threshold), so the FIRST
+    miss batch inserts on the calling thread (reference README.md:204-205 —
+    round-2 inverted this with an optimistic 1.0 init)."""
+    ps, tbl = dynamic_deploy
+    cache = ps.get_embedding_cache("dyn", 0)
+    sess = LookupSession.create(ps.get_model_params("dyn"), cache)
+    assert cache.hit_meter.rate(0) == 0.0  # unobserved -> below threshold
+    resident, _ = cache.slotmaps[0].resident()
+    cold = np.setdiff1d(tbl.keys, resident)[:8]
+    sess.lookup_numpy([cold])
+    # Immediately resident, no drainer wait: the sync path ran.
     assert (cache.translate(0, cold) != cache.slotmaps[0].miss_slot).all()
 
 

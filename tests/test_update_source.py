@@ -171,6 +171,94 @@ def test_kafka_lite_roundtrip():
         broker.stop()
 
 
+def test_kafka_multi_partition_roundtrip(tmp_path):
+    """Multi-partition topics (reference doc:575-646 — trainer-side producers
+    commonly spread a topic over several partitions): the consumer must fetch
+    EVERY partition (round-2 silently read partition 0 only), offsets persist
+    per partition, and our producer's murmur2 key partitioner matches stock
+    Kafka's assignment."""
+    import struct as _struct
+
+    from hugectr_backend_tpu.update.kafka_lite import (
+        KafkaQueueSource,
+        encode_update,
+        murmur2,
+        partition_for_key,
+    )
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    # Kafka's own murmur2 test vector (org.apache.kafka.common.utils
+    # .UtilsTest): murmur2("21".getBytes) == -973932308 (signed int32).
+    assert murmur2(b"21") == -973932308 & 0xFFFFFFFF
+
+    broker = MiniKafkaBroker(num_partitions=3).start()
+    try:
+        offsets = tmp_path / "offsets.json"
+        src = KafkaQueueSource(f"127.0.0.1:{broker.port}",
+                               offsets_path=str(offsets))
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((4, 8)).astype(np.float32)
+
+        # External-producer shape: one topic, messages spread over ALL
+        # partitions (posted via the raw client, bypassing our partitioner).
+        topic = "hps_et.m.t0"
+        for pid in range(3):
+            value = encode_update(8, np.arange(4, dtype=np.int64) + pid * 10,
+                                  vecs + pid)
+            src.client.produce(topic, pid, [(topic.encode(), value)])
+        got = sorted(list(src.poll(timeout_ms=10)),
+                     key=lambda tkv: tkv[1][0])
+        assert len(got) == 3, "a partition's updates were dropped"
+        for pid, (tag, k, v) in enumerate(got):
+            assert tag == topic
+            np.testing.assert_array_equal(k, np.arange(4) + pid * 10)
+            np.testing.assert_allclose(v, vecs + pid)
+
+        # Per-partition offsets survive commit + reopen.
+        src.commit()
+        src.close()
+        src2 = KafkaQueueSource(f"127.0.0.1:{broker.port}",
+                                offsets_path=str(offsets))
+        assert list(src2.poll(timeout_ms=10)) == []
+
+        # Our own post() lands on the murmur2-of-key partition.
+        src2.post(topic, np.asarray([7], np.int64), vecs[:1])
+        want_pid = partition_for_key(topic.encode(), 3)
+        # Each partition held exactly one seed message; ours must have landed
+        # on the murmur2-of-key partition.
+        assert len(broker.logs[(topic, want_pid)]) == 2
+        assert len(list(src2.poll(timeout_ms=10))) == 1
+        src2.close()
+    finally:
+        broker.stop()
+
+
+def test_kafka_v0_incompatible_broker_fails_actionably():
+    """A broker that dropped the v0 wire versions (Kafka >= 4.0, KIP-896)
+    must be detected at connect time, not fail silently."""
+    import struct as _struct
+
+    from hugectr_backend_tpu.update.kafka_lite import KafkaQueueSource
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    class ModernBroker(MiniKafkaBroker):
+        def _api_versions(self, r):
+            apis = [(0, 3, 9), (1, 4, 13), (2, 1, 8), (3, 1, 12), (18, 0, 3)]
+            out = _struct.pack(">hi", 0, len(apis))
+            for api, lo, hi in apis:
+                out += _struct.pack(">hhh", api, lo, hi)
+            return out
+
+    broker = ModernBroker().start()
+    try:
+        src = KafkaQueueSource(f"127.0.0.1:{broker.port}")
+        with pytest.raises(IOError, match="Kafka 4.0"):
+            list(src.poll(timeout_ms=10))
+        src.close()
+    finally:
+        broker.stop()
+
+
 def test_kafka_message_queue_serves_updates_end_to_end(tmp_path):
     """ps.json with update_source type=kafka_message_queue: streamed updates
     land in the DRAM/SSD tiers and reach lookups after a cache refresh
