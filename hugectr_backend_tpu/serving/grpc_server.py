@@ -286,7 +286,8 @@ class HpsGrpcServer:
     """gRPC server wrapper mirroring HpsHttpServer's lifecycle API."""
 
     def __init__(self, manager: ModelManager, host="127.0.0.1", port: int = 8001,
-                 ensembles=None, dense_models=None, max_workers: int = 16):
+                 ensembles=None, dense_models=None, max_workers: int = 16,
+                 tls_certfile=None, tls_keyfile=None):
         import grpc
 
         from hugectr_backend_tpu.serving import kserve_pb
@@ -322,7 +323,15 @@ class HpsGrpcServer:
             grpc.method_handlers_generic_handler(
                 kserve_pb.SERVICE_NAME, handlers),
         ))
-        self.port = self.server.add_insecure_port(f"{host}:{port}")
+        if tls_certfile:
+            with open(tls_keyfile, "rb") as f:
+                key = f.read()
+            with open(tls_certfile, "rb") as f:
+                cert = f.read()
+            creds = grpc.ssl_server_credentials([(key, cert)])
+            self.port = self.server.add_secure_port(f"{host}:{port}", creds)
+        else:
+            self.port = self.server.add_insecure_port(f"{host}:{port}")
         if self.port == 0:
             raise RuntimeError(
                 f"gRPC server failed to bind {host}:{port} "

@@ -528,7 +528,8 @@ class HpsHttpServer:
     """Threaded HTTP server wrapper with startup/shutdown control."""
 
     def __init__(self, manager: ModelManager, host="127.0.0.1", port: int = 8000,
-                 ensembles=None, dense_models=None):
+                 ensembles=None, dense_models=None,
+                 tls_certfile=None, tls_keyfile=None):
         handler = type(
             "BoundHandler",
             (_Handler,),
@@ -539,6 +540,16 @@ class HpsHttpServer:
             },
         )
         self.httpd = ThreadingHTTPServer((host, port), handler)
+        if tls_certfile:
+            # HTTPS frontend (Triton serves TLS through its endpoints; the
+            # reference backend rides that — this is the equivalent knob).
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_certfile, tls_keyfile)
+            self.httpd.socket = ctx.wrap_socket(
+                self.httpd.socket, server_side=True
+            )
         self.port = self.httpd.server_address[1]
         self.manager = manager
         self._thread: Optional[threading.Thread] = None
@@ -566,7 +577,8 @@ class HpsHttpServer:
 
 
 def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
-          model_repository=None, grpc_port=None):
+          model_repository=None, grpc_port=None,
+          tls_certfile=None, tls_keyfile=None):
     """Entry point: ``python -m hugectr_backend_tpu.serving.server ps.json``
     (the reference's ``tritonserver --backend-config=hps,ps=...`` equivalent,
     README.md:105-108). Passing ``model_repository`` consumes a Triton-style
@@ -594,7 +606,8 @@ def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
             raise ValueError("either ps_source or model_repository is required")
         manager = ModelManager.create(ps_source)
     server = HpsHttpServer(
-        manager, host, port, ensembles=ensembles, dense_models=dense_models
+        manager, host, port, ensembles=ensembles, dense_models=dense_models,
+        tls_certfile=tls_certfile, tls_keyfile=tls_keyfile,
     ).start()
     if grpc_port is not None:
         from hugectr_backend_tpu.serving.grpc_server import HpsGrpcServer
@@ -602,6 +615,7 @@ def serve(ps_source=None, host="127.0.0.1", port=8000, block=True,
         server.grpc = HpsGrpcServer(
             manager, host, grpc_port,
             ensembles=ensembles, dense_models=dense_models,
+            tls_certfile=tls_certfile, tls_keyfile=tls_keyfile,
         ).start()
     if block:
         try:
@@ -627,7 +641,11 @@ if __name__ == "__main__":
         "--grpc-port", type=int, default=8001,
         help="KServe v2 gRPC port (Triton default 8001); -1 disables",
     )
+    ap.add_argument("--tls-cert", help="PEM certificate: serve HTTPS and "
+                    "TLS gRPC instead of plaintext")
+    ap.add_argument("--tls-key", help="PEM private key for --tls-cert")
     args = ap.parse_args()
     serve(args.ps_json, args.host, args.port,
           model_repository=args.model_repository,
-          grpc_port=None if args.grpc_port < 0 else args.grpc_port)
+          grpc_port=None if args.grpc_port < 0 else args.grpc_port,
+          tls_certfile=args.tls_cert, tls_keyfile=args.tls_key)

@@ -26,14 +26,39 @@ Wire format (little-endian):
 Ops: PING, CREATE(dim i32), DROP, INSERT(n i64, keys n*i64, vecs n*dim*f32),
 QUERY(n i64, keys) -> (found n*u8, vecs n*dim*f32), KEYS -> (n, keys),
 SIZE -> i64, TABLES -> joined tag list.
+
+Security (the reference's redis_cluster supports password auth + TLS,
+reference docs/hierarchical_parameter_server.md:450-458):
+
+- **Shared secret** (``secret=...`` on server and client; ps.json
+  ``volatile_db.password`` plumbs here): challenge-response handshake on
+  connect — the server sends a random nonce, the client must answer
+  HMAC-SHA256(secret, nonce) before any op is accepted. Unauthenticated
+  peers (including DROP attempts) are disconnected. Both sides must agree
+  on whether a secret is configured.
+- **TLS** (``volatile_db.enable_tls`` + the ``tls_*`` cert paths): the
+  whole connection wraps in ``ssl`` before the handshake; combine with the
+  secret for mutual trust without client certs, or use CA-verified client
+  certs via a custom ``ssl.SSLContext``.
 """
 
 from __future__ import annotations
 
+import hmac
+import hashlib
+import os
 import socket
+import ssl
 import struct
 import threading
 from typing import Optional
+
+_AUTH_MAGIC = b"HPSA"
+_NONCE_LEN = 16
+
+
+def _auth_digest(secret: str, nonce: bytes) -> bytes:
+    return hmac.new(secret.encode(), nonce, hashlib.sha256).digest()
 
 import numpy as np
 
@@ -72,12 +97,16 @@ def _recv_msg(sock) -> Optional[bytes]:
 class ClusterNodeServer:
     """One pool node: a local DRAM store served over TCP."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, store=None):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, store=None,
+                 secret: Optional[str] = None,
+                 tls: Optional[ssl.SSLContext] = None):
         if store is None:
             from hugectr_backend_tpu.tiers.dram import make_dram_tier
 
             store = make_dram_tier(None)
         self.store = store
+        self.secret = secret or None
+        self.tls = tls
         self._dims: dict[str, int] = {}
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -123,6 +152,11 @@ class ClusterNodeServer:
 
     def _serve(self, conn):
         try:
+            if self.tls is not None:
+                conn = self.tls.wrap_socket(conn, server_side=True)
+            if self.secret is not None and not self._authenticate(conn):
+                log.warning("cluster node: rejected unauthenticated peer")
+                return
             while not self._stop.is_set():
                 msg = _recv_msg(conn)
                 if msg is None:
@@ -140,6 +174,20 @@ class ClusterNodeServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _authenticate(self, conn) -> bool:
+        """Challenge-response: send nonce, require HMAC-SHA256(secret, nonce)
+        back before serving any op (reference redis auth parity, doc:450-458)."""
+        nonce = os.urandom(_NONCE_LEN)
+        _send_msg(conn, _AUTH_MAGIC + nonce)
+        reply = _recv_msg(conn)
+        if reply is None or not hmac.compare_digest(
+            reply, _auth_digest(self.secret, nonce)
+        ):
+            _send_msg(conn, bytes([ST_ERR]) + b"authentication failed")
+            return False
+        _send_msg(conn, bytes([ST_OK]))
+        return True
 
     def _handle(self, msg: bytes) -> bytes:
         op = msg[0]
@@ -213,18 +261,45 @@ class ClusterNodeServer:
 
 
 class _NodeClient:
-    def __init__(self, addr: "tuple[str, int]", timeout_s: float = 10.0):
+    def __init__(self, addr: "tuple[str, int]", timeout_s: float = 10.0,
+                 secret: Optional[str] = None,
+                 tls: Optional[ssl.SSLContext] = None,
+                 server_hostname: Optional[str] = None):
         self.addr = addr
         self.timeout_s = timeout_s
+        self.secret = secret or None
+        self.tls = tls
+        self.server_hostname = server_hostname
         self._sock: Optional[socket.socket] = None
         self._lock = threading.Lock()
 
     def _ensure(self):
         if self._sock is None:
-            self._sock = socket.create_connection(
-                self.addr, timeout=self.timeout_s
-            )
+            sock = socket.create_connection(self.addr, timeout=self.timeout_s)
+            try:
+                if self.tls is not None:
+                    sock = self.tls.wrap_socket(
+                        sock, server_hostname=self.server_hostname
+                    )
+                if self.secret is not None:
+                    self._handshake(sock)
+            except BaseException:
+                sock.close()
+                raise
+            self._sock = sock
         return self._sock
+
+    def _handshake(self, sock):
+        greeting = _recv_msg(sock)
+        if greeting is None or greeting[:4] != _AUTH_MAGIC:
+            raise IOError(
+                f"cluster node {self.addr} did not offer an auth challenge "
+                "(secret configured on the client but not the node?)"
+            )
+        _send_msg(sock, _auth_digest(self.secret, greeting[4:]))
+        ack = _recv_msg(sock)
+        if ack is None or ack[0] != ST_OK:
+            raise IOError(f"cluster node {self.addr} rejected the secret")
 
     def call(self, op: int, tag: str, body: bytes = b"") -> bytes:
         t = tag.encode()
@@ -265,14 +340,18 @@ class ClusterKVTier(KVTier):
     bits (``key % n_nodes``, the reference's Redis partitioning scheme)."""
 
     def __init__(self, addresses: "list[str]", max_batch_size: int = 65536,
-                 timeout_s: float = 10.0):
+                 timeout_s: float = 10.0, secret: Optional[str] = None,
+                 tls: Optional[ssl.SSLContext] = None,
+                 server_hostname: Optional[str] = None):
         if not addresses:
             raise ValueError("cluster tier needs at least one node address")
         self._nodes = []
         for a in addresses:
             host, _, port = a.strip().rpartition(":")
             self._nodes.append(
-                _NodeClient((host or "127.0.0.1", int(port)), timeout_s)
+                _NodeClient((host or "127.0.0.1", int(port)), timeout_s,
+                            secret=secret, tls=tls,
+                            server_hostname=server_hostname)
             )
         self.n = len(self._nodes)
         self.max_batch = max(int(max_batch_size), 1)
@@ -422,8 +501,19 @@ def main(argv=None):  # pragma: no cover - CLI
     )
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7000)
+    ap.add_argument("--secret-env", default="HPS_CLUSTER_SECRET",
+                    help="env var holding the shared auth secret "
+                    "(unset/empty = no auth)")
+    ap.add_argument("--tls-cert", help="PEM server certificate (enables TLS)")
+    ap.add_argument("--tls-key", help="PEM server private key")
     args = ap.parse_args(argv)
-    srv = ClusterNodeServer(args.host, args.port).start()
+    tls = None
+    if args.tls_cert:
+        tls = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        tls.load_cert_chain(args.tls_cert, args.tls_key)
+    secret = os.environ.get(args.secret_env) or None
+    srv = ClusterNodeServer(args.host, args.port, secret=secret,
+                            tls=tls).start()
     log.info("cluster DRAM node serving on %s:%d", args.host, srv.port)
     try:
         threading.Event().wait()

@@ -256,8 +256,28 @@ def make_dram_tier(params: Optional[VolatileDatabaseParams] = None) -> KVTier:
         from hugectr_backend_tpu.tiers.cluster import ClusterKVTier
 
         addrs = [a for a in params.address.split(",") if a.strip()]
+        # Security plumbing (reference redis TLS/password opts, doc:450-458):
+        # ``password`` becomes the shared-secret handshake; ``enable_tls``
+        # wraps the node connections using the configured CA / client cert.
+        tls = None
+        if params.enable_tls:
+            import ssl as _ssl
+
+            tls = _ssl.create_default_context(
+                _ssl.Purpose.SERVER_AUTH, cafile=params.tls_ca_certificate
+            )
+            try:
+                tls.load_cert_chain(
+                    params.tls_client_certificate, params.tls_client_key
+                )
+            except (FileNotFoundError, _ssl.SSLError):
+                pass  # client certs optional; CA-verified server TLS only
         try:
-            tier = ClusterKVTier(addrs, max_batch_size=params.max_batch_size)
+            tier = ClusterKVTier(
+                addrs, max_batch_size=params.max_batch_size,
+                secret=params.password or None, tls=tls,
+                server_hostname=params.tls_server_name_identification,
+            )
             tier.ping()
             log.info(
                 "volatile_db redis_cluster: pooled DRAM tier across %d "

@@ -115,6 +115,82 @@ def test_cluster_tier_cross_process_and_ps_integration(tmp_path):
         proc.wait(timeout=10)
 
 
+def test_cluster_auth_secret():
+    """Shared-secret handshake (reference redis password parity,
+    doc:450-458): good secret round-trips; a bad secret and a secretless
+    client are rejected before any op — including DROP — executes."""
+    node = ClusterNodeServer(secret="s3kr1t").start()
+    try:
+        good = ClusterKVTier([f"127.0.0.1:{node.port}"], secret="s3kr1t")
+        good.create_table("t", 4)
+        good.insert("t", np.array([1, 2], np.int64),
+                    np.ones((2, 4), np.float32))
+        out, found = good.query("t", np.array([1], np.int64))
+        assert found.all() and np.allclose(out, 1.0)
+
+        bad = ClusterKVTier([f"127.0.0.1:{node.port}"], secret="wrong")
+        with pytest.raises(IOError):
+            bad.ping()
+        bad.close()
+
+        # A client with no secret must not be able to DROP the table: the
+        # node's first frame is the auth challenge, not an op response.
+        naked = ClusterKVTier([f"127.0.0.1:{node.port}"])
+        with pytest.raises(IOError):
+            naked.drop_table("t")
+        naked.close()
+        assert node.store.size("t") == 2  # table untouched
+        good.close()
+    finally:
+        node.stop()
+
+
+@pytest.fixture(scope="module")
+def self_signed_cert(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tls")
+    cert, key = tmp / "cert.pem", tmp / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "2",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+def test_cluster_tls_and_secret(self_signed_cert):
+    """TLS-wrapped node protocol (reference enable_tls, doc:450-458) with
+    the secret handshake riding inside the encrypted channel."""
+    import ssl
+
+    cert, key = self_signed_cert
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(cert, key)
+    node = ClusterNodeServer(secret="tls-pass", tls=sctx).start()
+    try:
+        cctx = ssl.create_default_context(cafile=cert)
+        cctx.check_hostname = False  # self-signed test cert
+        tier = ClusterKVTier(
+            [f"127.0.0.1:{node.port}"], secret="tls-pass", tls=cctx
+        )
+        tier.create_table("t", 4)
+        tier.insert("t", np.array([7], np.int64),
+                    np.full((1, 4), 2.0, np.float32))
+        out, found = tier.query("t", np.array([7], np.int64))
+        assert found.all() and np.allclose(out, 2.0)
+        tier.close()
+
+        # Plaintext client against the TLS node: the node's TLS handshake
+        # rejects the raw bytes and the connection drops.
+        plain = ClusterKVTier([f"127.0.0.1:{node.port}"], timeout_s=3)
+        with pytest.raises(IOError):
+            plain.ping()
+        plain.close()
+    finally:
+        node.stop()
+
+
 def test_cluster_fallback_to_local_when_unreachable(tmp_path, caplog):
     """Config resilience: unreachable pool -> local DRAM store + warning
     (the reference survives a Redis outage via its persistent full copy)."""

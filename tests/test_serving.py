@@ -314,3 +314,58 @@ def test_malformed_payload_fuzz(served):
     assert status == 200
     out = np.asarray(resp["outputs"][0]["data"], np.float32).reshape(3, 16)
     np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)
+
+
+def test_tls_frontends(tmp_path):
+    """HTTPS + TLS gRPC frontends (Triton serves TLS on its endpoints; the
+    plaintext-only round-2 frontends were a parity gap)."""
+    import ssl
+    import subprocess
+
+    from hugectr_backend_tpu.serving.server import serve
+
+    cert, key = tmp_path / "cert.pem", tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "2",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    tbl = make_synthetic_table(500, 8, seed=33)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    cfg = {"models": [{
+        "model": "m", "sparse_files": [str(tmp_path / "t0")],
+        "embedding_vecsize_per_table": [8],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "max_batch_size": 32, "gpucacheper": 1.0, "quant_bits": 32,
+    }]}
+    srv = serve(ps_source=cfg, port=0, grpc_port=0, block=False,
+                tls_certfile=str(cert), tls_keyfile=str(key))
+    try:
+        ctx = ssl.create_default_context(cafile=str(cert))
+        with urllib.request.urlopen(
+            f"https://localhost:{srv.port}/v2/health/ready", context=ctx
+        ) as r:
+            assert r.status == 200
+        # Plain HTTP against the TLS port fails.
+        with pytest.raises(Exception):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/v2/health/ready", timeout=5)
+
+        import grpc
+
+        from hugectr_backend_tpu.serving import kserve_pb
+
+        pb2 = kserve_pb.load()
+        creds = grpc.ssl_channel_credentials(cert.read_bytes())
+        channel = grpc.secure_channel(f"localhost:{srv.grpc.port}", creds)
+        ready = channel.unary_unary(
+            f"/{kserve_pb.SERVICE_NAME}/ServerReady",
+            request_serializer=lambda m: m.SerializeToString(),
+            response_deserializer=pb2.ServerReadyResponse.FromString,
+        )
+        assert ready(pb2.ServerReadyRequest(), timeout=10).ready
+        channel.close()
+    finally:
+        srv.stop()
