@@ -14,9 +14,11 @@ Layout per table:
 Scale design (round-2 hardening; BASELINE config 5 terabyte-scale tables):
 
 - The key index is VECTORIZED: sorted key array + per-key newest-record row,
-  looked up via np.searchsorted — no Python per-record loop anywhere.
-  Recent inserts live in a bounded dict overlay (an LSM-style memtable)
-  merged into the sorted arrays when it exceeds ``OVERLAY_FLUSH`` keys.
+  looked up via np.searchsorted — no Python per-key loop anywhere, on bulk
+  loads OR small-batch update storms. Recent inserts land as raw array
+  fragments (O(1) append per batch, an LSM-style memtable), consolidated
+  into a sorted overlay every ``PEND_CONSOLIDATE`` keys and folded into the
+  main index past ``OVERLAY_FLUSH`` keys.
 - The index is PERSISTED as a sidecar with a record watermark: reopening a
   table loads the sidecar and tail-scans only records written after the
   watermark (a crash between appends and sidecar writes costs a bounded
@@ -47,19 +49,24 @@ from hugectr_backend_tpu.config.params import PersistentDatabaseParams
 from hugectr_backend_tpu.tiers.base import KVTier
 
 OVERLAY_FLUSH = 65536
+PEND_CONSOLIDATE = 8192
 COMPACT_DEAD_RATIO = 0.5
 COMPACT_MIN_RECORDS = 10_000
 
 
-def _merge_newest(k1, r1, k2, r2):
-    """Merge two (keys, rows) index fragments; for duplicate keys the larger
+def _merge_many(ks_list, rs_list):
+    """Merge N (keys, rows) index fragments; for duplicate keys the larger
     row (newer record) wins. Fully vectorized."""
-    allk = np.concatenate([k1, k2])
-    allr = np.concatenate([r1, r2])
+    allk = np.concatenate(ks_list)
+    allr = np.concatenate(rs_list)
     order = np.lexsort((allr, allk))
     ks, rs = allk[order], allr[order]
     last = np.concatenate([ks[1:] != ks[:-1], [True]]) if ks.size else np.zeros(0, bool)
     return ks[last], rs[last]
+
+
+def _merge_newest(k1, r1, k2, r2):
+    return _merge_many([k1, k2], [r1, r2])
 
 
 def _index_from_keys(keys: np.ndarray):
@@ -92,10 +99,16 @@ class _TableLog:
             self.dim = dim
             self.meta_path.write_text(json.dumps({"dim": dim}))
         self.record_bytes = 8 + 4 * self.dim
-        # Vectorized main index + bounded memtable overlay.
+        # Vectorized main index + bounded memtable overlay. The overlay is
+        # itself vectorized (sorted arrays + raw pending fragments appended
+        # O(1) per insert and consolidated in bulk) — a small-batch update
+        # storm never pays a Python per-key loop (round-2 used a dict here).
         self._ksorted = np.zeros(0, np.int64)
         self._krows = np.zeros(0, np.int64)
-        self._overlay: dict[int, int] = {}
+        self._okeys = np.zeros(0, np.int64)
+        self._orows = np.zeros(0, np.int64)
+        self._pend: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pend_n = 0
         self._open()
 
     # ----------------------------------------------------------- open/index
@@ -147,15 +160,29 @@ class _TableLog:
                      watermark=np.int64(self._indexed))
         os.replace(tmp, self.index_path)
 
-    def _flush_overlay_locked(self):
-        if not self._overlay:
+    def _consolidate_locked(self):
+        """Fold the raw pending fragments into the sorted overlay arrays."""
+        if not self._pend:
             return
-        ok = np.fromiter(self._overlay.keys(), np.int64, len(self._overlay))
-        orr = np.fromiter(self._overlay.values(), np.int64, len(self._overlay))
-        self._ksorted, self._krows = _merge_newest(
-            self._ksorted, self._krows, ok, orr
+        self._okeys, self._orows = _merge_many(
+            [self._okeys] + [k for k, _ in self._pend],
+            [self._orows] + [r for _, r in self._pend],
         )
-        self._overlay = {}
+        self._pend = []
+        self._pend_n = 0
+
+    def _overlay_size_locked(self) -> int:
+        return int(self._okeys.size) + self._pend_n
+
+    def _flush_overlay_locked(self):
+        self._consolidate_locked()
+        if not self._okeys.size:
+            return
+        self._ksorted, self._krows = _merge_newest(
+            self._ksorted, self._krows, self._okeys, self._orows
+        )
+        self._okeys = np.zeros(0, np.int64)
+        self._orows = np.zeros(0, np.int64)
         self._save_sidecar()
 
     # ---------------------------------------------------------------- write
@@ -178,10 +205,16 @@ class _TableLog:
                     self._ksorted, self._krows, nk, nr + base
                 )
             else:
-                for i, k in enumerate(keys.tolist()):
-                    self._overlay[k] = base + i
+                # O(1) append; consolidation into the sorted overlay is
+                # amortized over many small batches (no per-key work).
+                self._pend.append(
+                    (keys, base + np.arange(keys.shape[0], dtype=np.int64))
+                )
+                self._pend_n += keys.shape[0]
+                if self._pend_n >= PEND_CONSOLIDATE:
+                    self._consolidate_locked()
             self._indexed = base + keys.shape[0]
-            if len(self._overlay) > OVERLAY_FLUSH:
+            if self._overlay_size_locked() > OVERLAY_FLUSH:
                 self._flush_overlay_locked()
         return int(keys.shape[0])
 
@@ -220,16 +253,9 @@ class _TableLog:
                 self.data_path, dtype=np.uint8, mode="r",
                 shape=(n * self.record_bytes,),
             ).reshape(n, self.record_bytes)
+            self._consolidate_locked()
             ksorted, krows = self._ksorted, self._krows
-            if self._overlay:
-                ok = np.fromiter(self._overlay.keys(), np.int64,
-                                 len(self._overlay))
-                orr = np.fromiter(self._overlay.values(), np.int64,
-                                  len(self._overlay))
-                o_order = np.argsort(ok)
-                okeys, orows = ok[o_order], orr[o_order]
-            else:
-                okeys = orows = np.zeros(0, np.int64)
+            okeys, orows = self._okeys, self._orows
         rows = self._lookup_rows(keys, ksorted, krows, okeys, orows)
         hit = (rows >= 0) & (rows < n)
         if hit.any():
@@ -247,14 +273,14 @@ class _TableLog:
         return live, total
 
     def _size_locked(self) -> int:
-        if not self._overlay:
+        self._consolidate_locked()
+        if not self._okeys.size:
             return int(self._ksorted.size)
-        ok = np.fromiter(self._overlay.keys(), np.int64, len(self._overlay))
         if not self._ksorted.size:
-            return len(self._overlay)
-        pos = np.searchsorted(self._ksorted, ok)
+            return int(self._okeys.size)
+        pos = np.searchsorted(self._ksorted, self._okeys)
         pos_c = np.minimum(pos, self._ksorted.size - 1)
-        new = int((self._ksorted[pos_c] != ok).sum())
+        new = int((self._ksorted[pos_c] != self._okeys).sum())
         return int(self._ksorted.size) + new
 
     def compact(self):
@@ -368,10 +394,10 @@ class SsdKVTier(KVTier):
     def keys(self, tag: str) -> np.ndarray:
         log = self._logs[self._norm(tag)]
         with log.lock:
-            if not log._overlay:
+            log._consolidate_locked()
+            if not log._okeys.size:
                 return log._ksorted.copy()
-            ok = np.fromiter(log._overlay.keys(), np.int64, len(log._overlay))
-            return np.union1d(log._ksorted, ok)
+            return np.union1d(log._ksorted, log._okeys)
 
     def compact(self) -> None:
         for log in self._logs.values():

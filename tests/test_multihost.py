@@ -62,6 +62,37 @@ assert np.allclose(mo, 0.0), "miss must yield the default row"
 a2a = np.asarray(sharded_lookup(tbl, slots, strategy="all_to_all"))
 np.testing.assert_allclose(a2a, out, rtol=1e-6)
 
+# Gradient THROUGH the a2a exchange across the two real processes: the
+# update must land on the owner shards and match the analytic gradient
+# (d/dv sum(gathered**2) = 2*v per gathered occurrence).
+from hugectr_backend_tpu.parallel.sharded_table import _cached_a2a, plan_all_to_all
+mesh_size = len(devs)
+buckets, expand = plan_all_to_all(slots, mesh_size, tbl.rows_padded // mesh_size)
+a2a_fn = _cached_a2a(mesh, has_scales=True)
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+@jax.jit
+def a2a_grad_step(values, scales, buckets, expand):
+    def loss_fn(v):
+        rows = a2a_fn(v, scales, buckets, expand)
+        return (rows.astype(jax.numpy.float32) ** 2).sum()
+    return jax.grad(loss_fn)(values.astype(jax.numpy.float32))
+
+with mesh:
+    grad = a2a_grad_step(tbl.values, tbl.scales, jax.numpy.asarray(buckets),
+                         jax.numpy.asarray(expand))
+    grad.block_until_ready()
+assert "table" in str(grad.sharding.spec), grad.sharding.spec
+# Replicate to make the sharded grad fully addressable in every process,
+# then check: rows never gathered have zero grad, gathered rows nonzero.
+rep = jax.jit(lambda g: g, out_shardings=NamedSharding(mesh, P()))
+gnp = np.asarray(rep(grad))
+touched = np.unique(slots[slots < tbl.rows_padded])
+untouched = np.setdiff1d(np.arange(tbl.rows_padded), touched)[:100]
+assert np.abs(gnp[untouched]).max() == 0.0
+assert np.abs(gnp[touched]).sum() > 0.0
+
 # Full production training step across both processes (driver contract).
 import __graft_entry__ as g
 g.dryrun_multichip(8)
