@@ -20,7 +20,14 @@ Spec schema::
 
     {"format": "hps_tpu_dense_v1",
      "reshape": [-1, 416],            # applied to the incoming flat tensor
+     "quant": "int8",                 # optional: weight-only int8/fp8 kernels
      "layers": [{"units": 256, "activation": "relu"}, ...]}
+
+With ``quant`` set, weights are stored column-scaled (``layers.<i>.wq`` +
+``layers.<i>.wscale``) and the matmuls run in bf16 on the MXU with the
+dequant multiply fused into the weight operand — the dense-side analogue of
+the reference's ``fp8_quant`` flag (reference backend.cpp:500-504). Convert
+with ``tools/convert_dense_model.py --quant int8|fp8``.
 
 Foreign formats are not executed: ``tools/convert_dense_model.py`` converts a
 torch MLP (state_dict or TorchScript) into this format at deploy time —
@@ -76,6 +83,8 @@ class DenseModel:
     name: str
     spec: dict
     weights: list[tuple[jax.Array, jax.Array]]  # [(w [in,out], b [out]), ...]
+    #: per-column dequant scales when spec["quant"] is set (w is then int8/fp8)
+    scales: Optional[list[jax.Array]] = None
     # Tensor names from the model's config.pbtxt (the reference's dense demo
     # uses input_1/output_1 — 02_model_inference_hps_tf_ensemble.ipynb).
     input_name: str = "input_1"
@@ -112,8 +121,17 @@ class DenseModel:
         """Pure forward: reshape then dense layers. Safe to call inside jit."""
         if self.reshape is not None:
             x = x.reshape(self.reshape)
-        for (w, b), layer in zip(self.weights, self.spec["layers"]):
-            x = x @ w + b
+        quant = self.spec.get("quant")
+        for i, ((w, b), layer) in enumerate(zip(self.weights, self.spec["layers"])):
+            if quant:
+                # Weight-only dequant fuses into the bf16 MXU matmul; the
+                # f32 accumulate keeps additions exact.
+                wd = w.astype(jnp.bfloat16) * self.scales[i].astype(
+                    jnp.bfloat16)[None, :]
+                x = jnp.dot(x.astype(jnp.bfloat16), wd,
+                            preferred_element_type=jnp.float32) + b
+            else:
+                x = x @ w + b
             x = _ACTIVATIONS[str(layer.get("activation", "identity")).lower()](x)
         return x
 
@@ -145,10 +163,23 @@ class DenseModel:
             raise ConfigError(
                 f"{spec_path}: unsupported format {spec.get('format')!r}"
             )
+        quant = spec.get("quant")
+        if quant not in (None, "int8", "fp8"):
+            raise ConfigError(f"{spec_path}: unsupported quant {quant!r}")
         with np.load(vdir / WEIGHTS_FILE) as z:
-            weights = []
+            weights, scales = [], []
             for i in range(len(spec["layers"])):
-                w = jnp.asarray(z[f"layers.{i}.w"], dtype=jnp.float32)
+                if quant:
+                    wq = z[f"layers.{i}.wq"]
+                    if quant == "fp8":
+                        import ml_dtypes
+
+                        wq = wq.view(ml_dtypes.float8_e4m3fn)
+                    w = jnp.asarray(wq)
+                    scales.append(
+                        jnp.asarray(z[f"layers.{i}.wscale"], jnp.float32))
+                else:
+                    w = jnp.asarray(z[f"layers.{i}.w"], dtype=jnp.float32)
                 b = jnp.asarray(z[f"layers.{i}.b"], dtype=jnp.float32)
                 if w.ndim != 2 or b.shape != (w.shape[1],):
                     raise ConfigError(
@@ -156,7 +187,8 @@ class DenseModel:
                         f"{w.shape}/{b.shape} inconsistent"
                     )
                 weights.append((w, b))
-        return cls(name or vdir.parent.name, spec, weights)
+        return cls(name or vdir.parent.name, spec, weights,
+                   scales=scales if quant else None)
 
 
 def save_dense_model(
@@ -164,12 +196,18 @@ def save_dense_model(
     weights: Sequence[tuple[np.ndarray, np.ndarray]],
     activations: Sequence[str],
     reshape: Optional[Sequence[int]] = None,
+    quant: Optional[str] = None,
 ) -> Path:
-    """Write the native dense format. ``weights[i]`` is (w [in,out], b [out])."""
+    """Write the native dense format. ``weights[i]`` is (w [in,out], b [out]).
+
+    ``quant`` ("int8" | "fp8") stores column-scaled quantized kernels; the
+    fp32 weights passed in are quantized here (deploy-time conversion)."""
     vdir = Path(version_dir)
     vdir.mkdir(parents=True, exist_ok=True)
     if len(weights) != len(activations):
         raise ValueError("need one activation per layer")
+    if quant not in (None, "int8", "fp8"):
+        raise ValueError(f"unsupported quant {quant!r}")
     spec = {
         "format": "hps_tpu_dense_v1",
         "layers": [
@@ -179,9 +217,21 @@ def save_dense_model(
     }
     if reshape is not None:
         spec["reshape"] = [int(d) for d in reshape]
+    if quant:
+        spec["quant"] = quant
     arrays = {}
     for i, (w, b) in enumerate(weights):
-        arrays[f"layers.{i}.w"] = np.asarray(w, dtype=np.float32)
+        if quant:
+            from hugectr_backend_tpu.models.quant_dense import quantize_weight
+
+            q, s = quantize_weight(np.asarray(w, np.float32), quant)
+            # fp8 rides as raw bytes (npz has no fp8 dtype); load views back.
+            arrays[f"layers.{i}.wq"] = (
+                q.view(np.uint8) if quant == "fp8" else q
+            )
+            arrays[f"layers.{i}.wscale"] = s
+        else:
+            arrays[f"layers.{i}.w"] = np.asarray(w, dtype=np.float32)
         arrays[f"layers.{i}.b"] = np.asarray(b, dtype=np.float32)
     (vdir / SPEC_FILE).write_text(json.dumps(spec, indent=1))
     np.savez(vdir / WEIGHTS_FILE, **arrays)

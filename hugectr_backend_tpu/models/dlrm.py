@@ -15,22 +15,35 @@ set ``compute_dtype=jnp.float32`` for bit-exact parity checks.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
 class MLP(nn.Module):
+    """Serving MLP; ``quant_fmt`` selects weight-only int8/fp8 kernels
+    (models/quant_dense.py — the reference's ``fp8_quant`` dense analogue,
+    reference backend.cpp:500-504). Convert trained fp32 params with
+    :func:`hugectr_backend_tpu.models.quant_dense.quantize_model_params`."""
+
     widths: Sequence[int]
     compute_dtype: jnp.dtype = jnp.bfloat16
     final_activation: bool = True
+    quant_fmt: Optional[str] = None  # None | "int8" | "fp8"
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.compute_dtype)
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+            if self.quant_fmt:
+                from hugectr_backend_tpu.models.quant_dense import QuantDense
+
+                x = QuantDense(w, self.quant_fmt, self.compute_dtype)(x)
+            else:
+                x = nn.Dense(
+                    w, dtype=self.compute_dtype, param_dtype=jnp.float32
+                )(x)
             if i + 1 < len(self.widths) or self.final_activation:
                 x = nn.relu(x)
         return x
@@ -69,6 +82,7 @@ class DLRM(nn.Module):
     bottom_widths: Sequence[int] = (512, 256, 64)
     top_widths: Sequence[int] = (1024, 1024, 512, 256, 1)
     compute_dtype: jnp.dtype = jnp.bfloat16
+    quant_fmt: Optional[str] = None  # weight-only dense quant: "int8"|"fp8"
 
     @nn.compact
     def __call__(self, dense, emb):
@@ -78,7 +92,9 @@ class DLRM(nn.Module):
                 f"interaction: bottom_widths[-1]={self.bottom_widths[-1]} vs "
                 f"embedding dim {emb.shape[-1]}"
             )
-        bottom = MLP(self.bottom_widths, self.compute_dtype, final_activation=True)(dense)
+        bottom = MLP(self.bottom_widths, self.compute_dtype,
+                     final_activation=True, quant_fmt=self.quant_fmt)(dense)
         x = DotInteraction()(bottom, emb.astype(bottom.dtype))
-        logits = MLP(self.top_widths, self.compute_dtype, final_activation=False)(x)
+        logits = MLP(self.top_widths, self.compute_dtype,
+                     final_activation=False, quant_fmt=self.quant_fmt)(x)
         return logits.astype(jnp.float32).squeeze(-1)

@@ -115,6 +115,32 @@ class QuantMLP(nn.Module):
         return x
 
 
+def quantize_model_params(params: Any, fmt: str = "int8"):
+    """Convert a whole Flax param tree trained with ``nn.Dense`` layers into
+    the layout the same model expects with ``quant_fmt=fmt`` set: module
+    keys ``Dense_i`` rename to ``QuantDense_i`` and each kernel becomes
+    (kernel_q, kernel_scale). Existing fp32 checkpoints deploy quantized
+    without retraining (the serving-side analogue of the reference's
+    fp8_quant flag, reference backend.cpp:500-504)."""
+
+    def convert(node):
+        if isinstance(node, dict) and "kernel" in node:
+            q, s = quantize_weight(np.asarray(node["kernel"]), fmt)
+            out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        if isinstance(node, dict):
+            return {
+                k.replace("Dense_", "QuantDense_")
+                if k.startswith("Dense_") else k: convert(v)
+                for k, v in node.items()
+            }
+        return node
+
+    return convert(params)
+
+
 def quantize_dense_params(dense_params: Any, fmt: str = "int8"):
     """Convert a Flax param tree of ``Dense`` layers ({kernel, bias}) into the
     QuantDense layout ({kernel_q, kernel_scale, bias})."""

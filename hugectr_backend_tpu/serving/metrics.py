@@ -89,6 +89,17 @@ class Histogram:
             self._sum[key] += value
             self._total[key] += 1
 
+    def mean(self, **labels) -> float:
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            total = self._total.get(key, 0)
+            return self._sum.get(key, 0.0) / total if total else 0.0
+
+    def count(self, **labels) -> int:
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            return self._total.get(key, 0)
+
     def percentile(self, q: float, **labels) -> float:
         """Approximate percentile from bucket counts (upper bound)."""
         key = tuple(sorted(labels.items()))
@@ -178,6 +189,17 @@ CACHE_HIT_RATE = REGISTRY.gauge(
 )
 PENDING_REQUESTS = REGISTRY.gauge(
     "hps_pending_requests", "Requests waiting in the scheduler queue"
+)
+BATCH_SW_SECONDS = REGISTRY.histogram(
+    "hps_batch_frontend_sw_seconds",
+    "Per executed batch: frontend software time (validate/merge/pad + "
+    "response split), EXCLUDING translation + device dispatch",
+)
+BATCH_DISPATCH_SECONDS = REGISTRY.histogram(
+    "hps_batch_dispatch_seconds",
+    "Per executed batch: key->slot translation + device program + "
+    "device->host transfer (includes interconnect RTT on remote-attached "
+    "setups)",
 )
 TIER_HIT = REGISTRY.counter(
     "hps_tier_hit", "Key lookups served by a storage tier (tier=dram|ssd)"

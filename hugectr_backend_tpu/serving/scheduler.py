@@ -202,6 +202,7 @@ class ContinuousBatcher:
                 # set to the pow2 grid — merged batches of any mix hit a
                 # warm executable.
                 pad_counts = self._bucket_counts(merged)
+                t_merge = time.perf_counter()
                 # Flat single-program lookup: one dispatch + ONE
                 # device->host transfer for the whole merged batch (a
                 # per-table fetch costs a full round-trip each on
@@ -209,6 +210,7 @@ class ContinuousBatcher:
                 flat = np.asarray(
                     self.session.lookup_flat(merged, pad_counts=pad_counts)
                 )
+                t_flat = time.perf_counter()
             # Split back per request: flat is table-major (padded counts);
             # within a table, requests appear in merge order.
             dims = [self.session.cache.tables[t].dim for t in range(n_tables)]
@@ -239,6 +241,14 @@ class ContinuousBatcher:
                 metrics.CACHE_HIT_RATE.set(
                     cache.hit_meter.rate(t), model=model, table=str(t)
                 )
+            t_resp = time.perf_counter()
+            # Decomposition (e2e split: tunnel/device vs frontend software):
+            # dispatch = translate + device program + transfer (+RTT on
+            # remote-attached setups); sw = merge/pad + response split.
+            metrics.BATCH_DISPATCH_SECONDS.observe(t_flat - t_merge, model=model)
+            metrics.BATCH_SW_SECONDS.observe(
+                (t_merge - t0) + (t_resp - t_flat), model=model
+            )
             dt = time.perf_counter() - t0
             metrics.REQUEST_COUNT.inc(len(batch), model=model)
             metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)

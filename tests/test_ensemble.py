@@ -196,6 +196,23 @@ def test_dense_model_roundtrip(tmp_path, rng):
     )
 
 
+def test_dense_model_quantized_roundtrip(tmp_path, rng):
+    """Weight-only quantized dense files (spec "quant") load and serve close
+    to the fp32 forward — the ensemble-path analogue of the reference's
+    fp8_quant flag (reference backend.cpp:500-504)."""
+    weights = _mlp_weights(rng)
+    x = rng.normal(size=(5, DIM * KEYS_PER_SAMPLE)).astype(np.float32)
+    want = _np_mlp(weights, x)
+    for fmt, tol in (("int8", 0.02), ("fp8", 0.08)):
+        save_dense_model(tmp_path / fmt, weights, ["relu", "sigmoid"],
+                         reshape=[-1, DIM * KEYS_PER_SAMPLE], quant=fmt)
+        dm = DenseModel.load(tmp_path / fmt, "dense_model")
+        assert dm.spec["quant"] == fmt and dm.scales is not None
+        got = dm.forward(x)
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < tol, f"{fmt}: rel err {rel}"
+
+
 def test_dense_model_foreign_format_hint(tmp_path):
     vdir = tmp_path / "1"
     vdir.mkdir()

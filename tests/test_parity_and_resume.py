@@ -112,6 +112,31 @@ def _to_quant_tree(params, fmt):
     return out
 
 
+def test_quant_dlrm_whole_model_parity():
+    """The config-selectable quantized dense path: DLRM(quant_fmt=...) +
+    quantize_model_params converts a trained fp32 checkpoint in one call and
+    stays close to the fp32 logits (the serving analogue of the reference's
+    fp8_quant flag, reference backend.cpp:500-504)."""
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.models.quant_dense import quantize_model_params
+
+    B, T, D = 32, 8, 16
+    model = DLRM(bottom_widths=(32, D), top_widths=(32, 16, 1),
+                 compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.standard_normal((B, 13)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((B, T, D)) * 0.1, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), dense, emb)
+    ref = np.asarray(model.apply(params, dense, emb))
+    for fmt, tol in (("int8", 0.03), ("fp8", 0.12)):
+        qm = DLRM(bottom_widths=(32, D), top_widths=(32, 16, 1),
+                  compute_dtype=jnp.float32, quant_fmt=fmt)
+        out = np.asarray(qm.apply(quantize_model_params(params, fmt),
+                                  dense, emb))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < tol, f"{fmt}: rel err {rel}"
+
+
 def test_resume_from_persistent_tier(tmp_path):
     """initialize_after_startup=false: a restarted PS serves from the durable
     SSD tier without re-reading the sparse model files (reference

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
         "--reshape", type=int, nargs="+", default=None,
         help="reshape applied to the incoming flat tensor, e.g. --reshape -1 416",
     )
+    ap.add_argument(
+        "--quant", choices=("int8", "fp8"), default=None,
+        help="store weight-only quantized kernels (column-scaled; matmuls "
+        "run bf16 on the MXU with fused dequant)",
+    )
     args = ap.parse_args(argv)
 
     import torch
@@ -46,12 +51,14 @@ def main(argv=None) -> int:
     except RuntimeError:
         module = torch.load(str(path), map_location="cpu", weights_only=False)
     weights, activations = convert_torch_sequential(module)
-    out = save_dense_model(args.version_dir, weights, activations, args.reshape)
+    out = save_dense_model(args.version_dir, weights, activations,
+                           args.reshape, quant=args.quant)
     dims = " -> ".join(
         [str(weights[0][0].shape[0])] + [str(w.shape[1]) for w, _ in weights]
     )
     print(f"wrote {out}/dense_model.json (+.npz): MLP {dims}, "
-          f"activations {activations}")
+          f"activations {activations}"
+          + (f", {args.quant} weight-only kernels" if args.quant else ""))
     return 0
 
 
