@@ -671,12 +671,15 @@ def main():
     small_vectors_per_s = SMALL_BATCH * n_tables / us_small * 1e6
 
     # ---- fused end-to-end DLRM (lookup + dense in one program) ----------
-    # Dense-precision ladder (ROOFLINE.md §6): bf16 is the production
-    # default (DLRM compute_dtype); f32 shows what full precision costs;
-    # int8/fp8 are the weight-only quantized kernels (models/quant_dense.py,
-    # the reference fp8_quant dense analogue). NOTE round-2's "fp32 vs bf16"
-    # A/B compared bf16 against itself (the model already computed in bf16) —
-    # its ±2% delta was run noise, not a precision effect.
+    # Dense-precision ladder (ROOFLINE.md §6): the headline runs the
+    # production default — f32 TENSORS (XLA's default precision routes the
+    # matmuls through bf16 MXU passes; manual bf16 casting measured ~30%
+    # SLOWER at this shape, bench_artifacts/dense_roofline.json). Variants:
+    # bf16_cast (explicit casts), int8/fp8 weight-only kernels
+    # (models/quant_dense.py, the reference fp8_quant dense analogue).
+    # NOTE round-2's "fp32 vs bf16" A/B compared bf16 against itself (the
+    # then-default was bf16 and use_mixed_precision changed nothing) — its
+    # ±2% delta was run noise, not a precision effect.
     from hugectr_backend_tpu.models.quant_dense import quantize_model_params
 
     arch = dict(bottom_widths=(512, 256, DIM))
@@ -689,11 +692,12 @@ def main():
     dense0 = jnp.asarray(rng.standard_normal((BATCH, 13)), jnp.float32)
     us_e2e = slope_us(BATCH, e2e=(model, params, dense0))
     e2e_qps = BATCH / us_e2e * 1e6
-    us_e2e_f32 = slope_us(
-        BATCH, e2e=(DLRM(**arch, compute_dtype=jnp.float32), params, dense0))
+    us_e2e_bf16 = slope_us(
+        BATCH, e2e=(DLRM(**arch, compute_dtype=jnp.bfloat16), params, dense0))
     dense_variants = {
-        "fused_dlrm_f32_dense_samples_per_s": round(BATCH / us_e2e_f32 * 1e6, 1),
-        "fused_dlrm_f32_dense_batch_latency_us": round(us_e2e_f32, 1),
+        "fused_dlrm_bf16cast_dense_samples_per_s": round(
+            BATCH / us_e2e_bf16 * 1e6, 1),
+        "fused_dlrm_bf16cast_dense_batch_latency_us": round(us_e2e_bf16, 1),
     }
     for fmt in ("int8", "fp8"):
         qm = DLRM(**arch, quant_fmt=fmt)

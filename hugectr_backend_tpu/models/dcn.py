@@ -17,7 +17,7 @@ from hugectr_backend_tpu.models.dlrm import MLP
 
 class CrossLayerV2(nn.Module):
     rank: int = 64
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x0, x):
@@ -32,7 +32,7 @@ class DCNv2(nn.Module):
     cross_rank: int = 64
     deep_widths: Sequence[int] = (1024, 512, 256)
     head_widths: Sequence[int] = (128, 1)
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, dense, emb):

@@ -21,7 +21,7 @@ class DinAttentionPool(nn.Module):
     """Target-aware attention over the behavior sequence (fused softmax pool)."""
 
     hidden: int = 64
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, target, seq, seq_len):
@@ -40,7 +40,7 @@ class DinAttentionPool(nn.Module):
 class DIN(nn.Module):
     mlp_widths: Sequence[int] = (200, 80, 1)
     att_hidden: int = 64
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, dense, target_emb, seq_emb, seq_len):

@@ -9,8 +9,14 @@ Shapes follow the reference CI config: 26 categorical features, 13 dense
 features, batch from the serving frontend (reference .gitlab-ci.yml:70
 ``--shape KEYS:26``).
 
-bf16 matmuls with fp32 accumulation keep the MXU fed at its fast path;
-set ``compute_dtype=jnp.float32`` for bit-exact parity checks.
+Precision: compute_dtype defaults to f32 TENSORS. On TPU, XLA's default
+matmul precision already executes f32-input matmuls as bf16 MXU passes with
+f32 accumulation, so a manually-cast bf16 graph does the same MXU work but
+pays extra convert/fusion-break kernels — measured 362 vs 252 us/batch-4096
+on v5e (bench_artifacts/dense_roofline.json, ROOFLINE.md §6). Pass
+``compute_dtype=jnp.bfloat16`` to halve activation HBM traffic where that
+(not conversion) is the bottleneck, or ``quant_fmt="int8"|"fp8"`` for
+weight-only quantized kernels.
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ class MLP(nn.Module):
     :func:`hugectr_backend_tpu.models.quant_dense.quantize_model_params`."""
 
     widths: Sequence[int]
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
     final_activation: bool = True
     quant_fmt: Optional[str] = None  # None | "int8" | "fp8"
 
@@ -81,7 +87,7 @@ class DLRM(nn.Module):
 
     bottom_widths: Sequence[int] = (512, 256, 64)
     top_widths: Sequence[int] = (1024, 1024, 512, 256, 1)
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
     quant_fmt: Optional[str] = None  # weight-only dense quant: "int8"|"fp8"
 
     @nn.compact

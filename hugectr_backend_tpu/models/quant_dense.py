@@ -3,10 +3,14 @@
 BASELINE config 5 calls for FP8 dense layers; the reference exposes
 ``fp8_quant`` and ``use_mixed_precision`` (reference backend.cpp:500-504,
 docs/hierarchical_parameter_server.md InferenceParams). Design: weights are
-stored quantized per-output-column (symmetric absmax); the matmul runs in
-bf16 on the MXU with the dequant multiply fused into the weight operand by
-XLA. Activations stay bf16 (weight-only quantization — the serving-friendly
-scheme: no activation calibration needed, accuracy close to bf16).
+stored quantized per-output-column (symmetric absmax); the dequant multiply
+fuses into the weight operand and the matmul runs on the MXU (bf16 passes
+under XLA's default precision). Weight-only quantization is the
+serving-friendly scheme: no activation calibration needed, accuracy close
+to the unquantized net. Measured latency-NEUTRAL at the headline shape
+(weights are a tiny fraction of the traffic, ROOFLINE.md §6) — the win is
+4x weight capacity; it becomes a latency lever for weight-traffic-bound
+shapes (small batch / very wide nets).
 
 ``quantize_dense_params`` converts a trained Flax ``Dense`` param tree in
 place, so existing checkpoints deploy quantized without retraining.
@@ -54,7 +58,7 @@ class QuantDense(nn.Module):
 
     features: int
     fmt: str = "int8"  # "int8" | "fp8"
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
     use_bias: bool = True
 
     @nn.compact
@@ -102,7 +106,7 @@ class QuantMLP(nn.Module):
 
     widths: Sequence[int]
     fmt: str = "int8"
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
     final_activation: bool = True
 
     @nn.compact

@@ -18,7 +18,7 @@ from hugectr_backend_tpu.models.dlrm import MLP
 
 class WideAndDeep(nn.Module):
     deep_widths: Sequence[int] = (1024, 512, 256, 1)
-    compute_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, dense, wide_emb, deep_emb):

@@ -22,17 +22,28 @@ Two lookup strategies (both return replicated [N, D] f32 results):
   the host cannot intervene per batch. Immune to skew, but the full [N, D]
   matrix rides the reduction.
 
+Row placement is INTERLEAVED (owner = slot % n_shards; local row =
+slot // n_shards — the reference's key-low-bits partitioning,
+docs/architecture.md:131): slot order follows sorted KEY order, so ANY key
+distribution spreads its unique slots near-uniformly over shards. Round-2
+used contiguous range placement, and a zipf(1.05) batch piled ~60% of its
+unique slots onto shard 0 — the pow2 bucket capacity hit 2048 instead of
+~512 at P=8, quadrupling the a2a exchange
+(bench_artifacts/scaling_cpu_mesh.json measured that regression; the fix
+restores the balanced math below).
+
 ICI traffic per chip, N=4096 keys, D=128 f32, n=8 shards, zipf(1.05) batch
-(~20% duplicate keys -> ~3.3k unique, bucket capacity pow2 -> 512):
+(~20% duplicate keys -> ~3.3k unique, balanced buckets -> cap pow2 512):
 
     psum:        ~2 (n-1)/n N D 4B  = 3.7 MB  (ring all-reduce, any batch)
     all_to_all:  (n-1) cap D 4B     = 1.8 MB  + 16 KB replicated buckets
 
-i.e. ~2x less ICI traffic at n=8 today, scaling as unique/n (vs N for psum)
+i.e. ~2x less ICI traffic at n=8, scaling as unique/n (vs N for psum)
 with shard count, plus an 8x smaller local gather per shard. Worst-case skew
-(every unique slot owned by one shard) degrades capacity to ~unique, making
-all_to_all's traffic equal psum's — never worse, and the host could detect
-it per batch and pick psum.
+(every unique slot owned by one shard — impossible under interleaving
+unless the slots are arithmetically strided by n_shards) degrades capacity
+to ~unique, making all_to_all's traffic equal psum's — never worse, and the
+host could detect it per batch and pick psum.
 
 The reference's Redis partitioning suffers hot-PARTITION imbalance (hot keys
 hash to one node and each duplicate costs an RPC). Here hot duplicates cost
@@ -59,7 +70,8 @@ class ShardedTable:
     """One embedding table row-sharded over the mesh ``table`` axis.
 
     ``values`` is the global [R_pad, D] array with sharding P("table", None);
-    each chip physically holds R_pad/n_shards contiguous rows in its HBM.
+    each chip physically holds R_pad/n_shards rows in its HBM — the
+    INTERLEAVED subset {s : s % n_shards == k} stored contiguously.
     Slot semantics match DeviceTable: ``index`` maps keys -> global slots;
     missing keys -> slot R_pad-? No: misses map to ``miss_slot`` which lands
     in the LAST shard's final row (a dedicated default row).
@@ -123,6 +135,20 @@ class ShardedTable:
                 f"sharded {quant} tables currently support default_value 0.0"
             )
 
+        # Interleaved placement: logical slot s lives at physical position
+        # (s % n_shards) * shard_rows + s // n_shards, so the contiguous
+        # XLA sharding below gives shard k exactly the slots with
+        # s % n_shards == k (reference key-low-bits partitioning) — balanced
+        # buckets under any key distribution.
+        shard_rows = r_pad // n_shards
+        s_all = np.arange(r_pad)
+        phys_pos = (s_all % n_shards) * shard_rows + s_all // n_shards
+        inv = np.empty(r_pad, np.int64)
+        inv[phys_pos] = s_all
+        vals = vals[inv]
+        if scales is not None:
+            scales = scales[inv]
+
         vsharding = NamedSharding(mesh, P("table", None))
         ssharding = NamedSharding(mesh, P("table"))
         table = cls(
@@ -164,11 +190,13 @@ def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int):
     shard_rows = rows_padded // n_shards
 
     def gather_local(values_l, scales_l, slots):
-        # values_l: [shard_rows, D] local block; slots: [N] replicated.
+        # values_l: [shard_rows, D] local block; slots: [N] replicated
+        # LOGICAL slots. Interleaved placement: shard k owns slots with
+        # slot % n_shards == k at local row slot // n_shards.
         shard_id = jax.lax.axis_index("table")
-        base = shard_id * shard_rows
-        local = slots - base
-        mine = (local >= 0) & (local < shard_rows)
+        mine = (slots % n_shards) == shard_id
+        local = slots // n_shards
+        mine = mine & (local < shard_rows)
         safe = jnp.where(mine, local, 0)
         rows = _rows_to_f32(jnp.take(values_l, safe, axis=0))
         if scales_l is not None:
@@ -204,7 +232,8 @@ def plan_all_to_all(
     """Host-side routing plan for the all_to_all strategy.
 
     Dedups ``slots`` and buckets each unique slot to its owner shard
-    (owner = slot // shard_rows under the contiguous row sharding).
+    (owner = slot % n_shards; local row = slot // n_shards under the
+    interleaved placement — balanced buckets for any key distribution).
 
     -> (buckets [n_shards, cap] int32 LOCAL row indices, zero-padded;
         expand  [N] int32 indices into the flattened [n_shards*cap] gathered
@@ -221,7 +250,7 @@ def plan_all_to_all(
     from hugectr_backend_tpu.tiers.hbm import dedup_int64
 
     uniq, inv = dedup_int64(slots)
-    owner = uniq // shard_rows
+    owner = uniq % n_shards
     counts = np.bincount(owner, minlength=n_shards)
     cap = _bucket_pow2(max(int(counts.max()), 1), min_capacity)
     order = np.argsort(owner, kind="stable")
@@ -229,7 +258,7 @@ def plan_all_to_all(
     within = np.empty(uniq.shape[0], np.int64)
     within[order] = np.arange(uniq.shape[0]) - start[owner[order]]
     buckets = np.zeros((n_shards, cap), np.int32)
-    buckets[owner, within] = (uniq % shard_rows).astype(np.int32)
+    buckets[owner, within] = (uniq // n_shards).astype(np.int32)
     expand = (owner * cap + within)[inv].astype(np.int32)
     return buckets, expand
 

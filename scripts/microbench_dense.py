@@ -5,13 +5,14 @@ Stages measured (batch 4096, the headline bench shape — bottom MLP
 13->512->256->128, dot interaction over 27 features, top MLP
 479->1024->1024->512->256->1):
 
-    A  full dense forward, bf16 compute (production default)
-    B  full dense forward, f32 compute
-    C  full dense forward, int8 weight-only kernels
-    D  full dense forward, fp8 weight-only kernels
-    E  bottom MLP alone (bf16)
-    F  interaction einsum + triu gather alone (bf16)
-    G  top MLP alone (bf16)
+    A  full dense forward, f32 tensors (production default: XLA default
+       precision runs the matmuls as bf16 MXU passes)
+    B  full dense forward, explicit bf16 casts
+    C  full dense forward, int8 weight-only kernels (f32 activations)
+    D  full dense forward, fp8 weight-only kernels (f32 activations)
+    E  bottom MLP alone (default precision)
+    F  interaction einsum + triu gather alone (bf16, as the model runs it)
+    G  top MLP alone (default precision)
 
 FLOP accounting (MACs*2, per sample):
     bottom 13*512 + 512*256 + 256*128 = 170,496 MACs
@@ -84,8 +85,10 @@ def slope_us(step_fn, params):
                 emb, acc = carry
                 out = step_fn(params, dense, emb)
                 s = out.sum()
-                # data dependency: perturb emb by the (tiny) result
-                emb = emb + (s * 1e-20).astype(emb.dtype)
+                # data dependency: perturb ONE element of the carry
+                # (in-place dus on the donated scan buffer, O(1) — a
+                # whole-tensor add would cost ~50-90 us/iter of HBM traffic)
+                emb = emb.at[0, 0, 0].add((s * 1e-20).astype(emb.dtype))
                 return (emb, acc + s), None
             (_, acc), _ = jax.lax.scan(
                 body, (emb0, jnp.float32(0)), jnp.arange(iters))
@@ -117,10 +120,10 @@ def main():
     def full(m, p):
         return slope_us(lambda pp, d, e: m.apply(pp, d, e), p)
 
-    results["A_full_bf16_us"] = full(model, params)
-    results["B_full_f32_us"] = full(
+    results["A_full_f32_default_us"] = full(model, params)
+    results["B_full_bf16cast_us"] = full(
         DLRM(bottom_widths=BOTTOM, top_widths=TOP,
-             compute_dtype=jnp.float32), params)
+             compute_dtype=jnp.bfloat16), params)
     for tag, fmt in (("C_full_int8_us", "int8"), ("D_full_fp8_us", "fp8")):
         qm = DLRM(bottom_widths=BOTTOM, top_widths=TOP, quant_fmt=fmt)
         qp = quantize_model_params(params, fmt)
@@ -159,8 +162,8 @@ def main():
         "macs_per_sample": MACS,
         "bf16_mxu_floor_us": round(floor_bf16_us, 1),
         "int8_mxu_floor_us": round(floor_int8_us, 1),
-        "bf16_pct_of_peak": round(
-            100 * floor_bf16_us / results["A_full_bf16_us"], 1),
+        "default_pct_of_peak": round(
+            100 * floor_bf16_us / results["A_full_f32_default_us"], 1),
         "int8_pct_of_peak": round(
             100 * floor_int8_us / results["C_full_int8_us"], 1),
         "batch": BATCH,

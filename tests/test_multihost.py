@@ -86,9 +86,14 @@ with mesh:
 assert "table" in str(grad.sharding.spec), grad.sharding.spec
 # Replicate to make the sharded grad fully addressable in every process,
 # then check: rows never gathered have zero grad, gathered rows nonzero.
+# grad is in PHYSICAL (interleaved) row order: logical slot s lives at
+# (s % n) * shard_rows + s // n.
 rep = jax.jit(lambda g: g, out_shardings=NamedSharding(mesh, P()))
 gnp = np.asarray(rep(grad))
-touched = np.unique(slots[slots < tbl.rows_padded])
+shard_rows = tbl.rows_padded // mesh_size
+def phys(s):
+    return (s % mesh_size) * shard_rows + s // mesh_size
+touched = phys(np.unique(slots[slots < tbl.rows_padded]))
 untouched = np.setdiff1d(np.arange(tbl.rows_padded), touched)[:100]
 assert np.abs(gnp[untouched]).max() == 0.0
 assert np.abs(gnp[touched]).sum() > 0.0
