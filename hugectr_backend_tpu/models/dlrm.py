@@ -12,8 +12,9 @@ features, batch from the serving frontend (reference .gitlab-ci.yml:70
 Precision: compute_dtype defaults to f32 TENSORS. On TPU, XLA's default
 matmul precision already executes f32-input matmuls as bf16 MXU passes with
 f32 accumulation, so a manually-cast bf16 graph does the same MXU work but
-pays extra convert/fusion-break kernels — measured 362 vs 252 us/batch-4096
-on v5e (bench_artifacts/dense_roofline.json, ROOFLINE.md §6). Pass
+pays extra convert/fusion-break kernels — measured 221 (f32) vs 312 (bf16
+casts) us/batch-4096 on v5e with the XLA interaction, 155.6 with the Pallas
+fused interaction (bench_artifacts/dense_roofline*.json, ROOFLINE.md §6). Pass
 ``compute_dtype=jnp.bfloat16`` to halve activation HBM traffic where that
 (not conversion) is the bottleneck, or ``quant_fmt="int8"|"fp8"`` for
 weight-only quantized kernels.
@@ -21,6 +22,7 @@ weight-only quantized kernels.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -59,15 +61,42 @@ class DotInteraction(nn.Module):
     """DLRM pairwise-dot feature interaction.
 
     Concatenates the bottom-MLP output with the upper triangle of
-    ``Z @ Z^T`` where Z stacks [bottom_out; emb_1..emb_T]. The batched matmul
-    lands on the MXU as a single [B, T+1, D] x [B, D, T+1] contraction.
+    ``Z @ Z^T`` where Z stacks [bottom_out; emb_1..emb_T].
+
+    On TPU the default is the Pallas fused kernel
+    (ops/fused_interaction.py): einsum + triu extraction in one VMEM pass,
+    measured 40.2 us vs 107.8 us for the XLA lowering at batch 4096 / F=27 /
+    D=128 on v5e (bench_artifacts/pallas_interaction.json) — the XLA graph
+    pays an HBM round-trip of the full [B, F, F] tensor plus a gather.
+    ``use_pallas``: None = auto (TPU, k=1 interactions, batch divisible
+    by 8; env kill-switch HPS_PALLAS_INTERACTION=0), True/False = force.
+    Both paths use bf16 MXU passes with f32 accumulation — on-device
+    outputs are bit-identical (parity_rel_err 0.0 in the bench artifact).
     """
 
     self_interaction: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, bottom_out, emb):
         # bottom_out [B, D], emb [B, T, D]
+        use = self.use_pallas
+        if use is None:
+            import jax
+
+            use = (
+                not self.self_interaction
+                and jax.default_backend() == "tpu"
+                and os.environ.get("HPS_PALLAS_INTERACTION", "1") != "0"
+            )
+        if use and not self.self_interaction:
+            from hugectr_backend_tpu.ops.fused_interaction import (
+                fused_dot_interaction,
+            )
+
+            return fused_dot_interaction(
+                bottom_out, emb.astype(bottom_out.dtype)
+            )
         z = jnp.concatenate([bottom_out[:, None, :], emb], axis=1)  # [B, F, D]
         zzt = jnp.einsum(
             "bfd,bgd->bfg", z, z, preferred_element_type=jnp.float32

@@ -1,0 +1,157 @@
+"""Pallas fused DLRM dot-interaction: einsum + triu extraction in one kernel.
+
+The XLA lowering of DLRM's pairwise interaction (models/dlrm.py
+``DotInteraction``) materializes the full ``zzt = z @ z^T`` [B, F, F] tensor
+to HBM and re-reads it for the upper-triangle gather. Measured on v5e at
+batch 4096 / F=27 / D=128 (bench_artifacts/interaction_variants.json): the
+einsum alone is 22.6 us (memory roofline) but einsum+extraction is 90.6 us —
+the extraction pays a full HBM round-trip of the [B, 729] intermediate plus
+a gather that the MXU cannot absorb. ROOFLINE.md §6.2 names the fused Pallas
+kernel as the one remaining lever (expected <=50 us back).
+
+This kernel blocks over the batch; per block it
+  1. stacks ``z = [bottom; emb]`` in VMEM (never materialized to HBM),
+  2. computes ``zzt`` with a batched MXU contraction (bf16 passes, f32
+     accumulation — identical precision semantics to XLA's default f32
+     matmul lowering on TPU),
+  3. writes ``concat([bottom, triu(zzt, k=1)])`` straight from VMEM with
+     26 static lane-slices (no gather, no HBM intermediate).
+
+HBM traffic: read bottom+emb once, write [B, D+P] once — the [B, F, F]
+intermediate and the separate z concat buffer disappear entirely.
+
+Gradients: serving never differentiates this op, but the training-style
+multi-chip dryrun does; a ``jax.custom_vjp`` supplies an XLA backward
+(scatter into the symmetric zzt adjoint), so ``jax.grad`` works everywhere.
+
+Reference parity: this is the TPU replacement for the interaction stage the
+reference serves through its ensemble's dense backend (reference
+samples/hps-triton-ensemble/README.md:1-24); output matches
+``DotInteraction`` (models/dlrm.py:58) bit-for-bf16-tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(batch: int) -> int:
+    """Power-of-two batch block dividing ``batch``. 256 measured fastest on
+    v5e (40.2 us vs 55.4/56.2 at 64/128 for batch 4096 — bench_artifacts/
+    pallas_interaction.json); 512 would exceed VMEM with the [bb, F, F]
+    intermediate double-buffered."""
+    for bb in (256, 128, 64, 32, 16, 8):
+        if batch % bb == 0:
+            return bb
+    return 0
+
+
+def _kernel(bot_ref, emb_ref, out_ref, *, dim: int, feats: int):
+    bot = bot_ref[...]  # [bb, D]
+    emb = emb_ref[...]  # [bb, T, D]
+    z = jnp.concatenate([bot[:, None, :], emb], axis=1)  # [bb, F, D]
+    zb = z.astype(jnp.bfloat16)
+    zzt = jax.lax.dot_general(
+        zb,
+        zb,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bb, F, F]
+    out_ref[:, :dim] = bot
+    off = dim
+    for f in range(feats - 1):
+        n = feats - 1 - f
+        out_ref[:, off : off + n] = zzt[:, f, f + 1 :].astype(out_ref.dtype)
+        off += n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def _fused_pallas(bottom, emb, *, interpret: bool = False, block: int = 0):
+    batch, dim = bottom.shape
+    feats = emb.shape[1] + 1
+    pairs = feats * (feats - 1) // 2
+    bb = block or _pick_block(batch)
+    grid = (batch // bb,)
+    return pl.pallas_call(
+        functools.partial(_kernel, dim=dim, feats=feats),
+        out_shape=jax.ShapeDtypeStruct((batch, dim + pairs), bottom.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bb, feats - 1, dim),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, dim + pairs), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * feats * feats * dim,
+            bytes_accessed=(
+                bottom.size * bottom.dtype.itemsize
+                + emb.size * emb.dtype.itemsize
+                + batch * (dim + pairs) * bottom.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bottom, emb)
+
+
+def _xla_reference(bottom, emb):
+    """The XLA formulation (models/dlrm.py DotInteraction), used for the
+    backward pass and as the numerical reference in tests."""
+    z = jnp.concatenate([bottom[:, None, :], emb], axis=1)
+    zzt = jnp.einsum("bfd,bgd->bfg", z, z, preferred_element_type=jnp.float32)
+    f = z.shape[1]
+    rows, cols = jnp.triu_indices(f, k=1)
+    inter = zzt[:, rows, cols].astype(bottom.dtype)
+    return jnp.concatenate([bottom, inter], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_dot_interaction(bottom, emb, interpret: bool = False):
+    """``concat([bottom, triu(z z^T, k=1)])`` for ``z = [bottom; emb]``.
+
+    bottom [B, D] f32, emb [B, T, D] -> [B, D + (T+1)T/2]. Falls back to the
+    XLA formulation when the batch cannot be blocked (not a multiple of 8).
+    Pass ``interpret=True`` to run the kernel interpreted (CPU tests).
+    """
+    if _pick_block(bottom.shape[0]) == 0:
+        return _xla_reference(bottom, emb)
+    return _fused_pallas(bottom, emb, interpret=interpret)
+
+
+def _fwd(bottom, emb, interpret):
+    return fused_dot_interaction(bottom, emb, interpret), (bottom, emb)
+
+
+def _bwd(interpret, res, g):
+    bottom, emb = res
+    batch, dim = bottom.shape
+    feats = emb.shape[1] + 1
+    rows, cols = np.triu_indices(feats, k=1)
+    g_bot_direct = g[:, :dim]
+    g_pairs = g[:, dim:].astype(jnp.float32)  # [B, P]
+    # Adjoint of zzt = z z^T through the triu extraction: scatter each pair
+    # gradient to (r, c) AND (c, r) — dz = (dzzt + dzzt^T) @ z collapses to
+    # one contraction over the symmetric scatter.
+    dzzt = jnp.zeros((batch, feats, feats), jnp.float32)
+    dzzt = dzzt.at[:, rows, cols].set(g_pairs)
+    dzzt = dzzt + jnp.swapaxes(dzzt, 1, 2)
+    z = jnp.concatenate([bottom[:, None, :], emb], axis=1).astype(jnp.float32)
+    dz = jnp.einsum("bfg,bgd->bfd", dzzt, z)
+    g_bot = g_bot_direct + dz[:, 0, :].astype(bottom.dtype)
+    g_emb = dz[:, 1:, :].astype(emb.dtype)
+    return g_bot, g_emb
+
+
+fused_dot_interaction.defvjp(_fwd, _bwd)
