@@ -912,3 +912,75 @@ void hps_quantize_rows(int64_t n, int32_t dim, const float* vecs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CRC32C (Castagnoli, reflected poly 0x82F63B78) for the Kafka RecordBatch
+// v2 checksum (update/record_batch.py; the v2 message format checksums
+// attributes..records with CRC32C per KIP-98 — zlib's CRC32/IEEE does not
+// match). Hardware SSE4.2 instruction when the build host has it
+// (-march=native), slice-by-8 tables otherwise; both byte-identical.
+// ---------------------------------------------------------------------------
+
+#ifdef __SSE4_2__
+#include <nmmintrin.h>
+#endif
+
+namespace {
+
+struct Crc32cTables {
+  uint32_t t[8][256];
+  Crc32cTables() {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : (c >> 1);
+      t[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; ++i)
+      for (int s = 1; s < 8; ++s)
+        t[s][i] = (t[s - 1][i] >> 8) ^ t[0][t[s - 1][i] & 0xFF];
+  }
+};
+
+[[maybe_unused]] uint32_t crc32c_sw(uint32_t crc, const uint8_t* p,
+                                    int64_t n) {
+  static const Crc32cTables tbl;
+  while (n >= 8) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+    w ^= crc;
+    crc = tbl.t[7][w & 0xFF] ^ tbl.t[6][(w >> 8) & 0xFF] ^
+          tbl.t[5][(w >> 16) & 0xFF] ^ tbl.t[4][(w >> 24) & 0xFF] ^
+          tbl.t[3][(w >> 32) & 0xFF] ^ tbl.t[2][(w >> 40) & 0xFF] ^
+          tbl.t[1][(w >> 48) & 0xFF] ^ tbl.t[0][(w >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ tbl.t[0][(crc ^ *p++) & 0xFF];
+  return crc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Incremental CRC32C: pass seed=0 to start, feed the PREVIOUS RETURN VALUE
+// as seed to continue (pre/post inversion handled internally).
+uint32_t hps_crc32c(const uint8_t* buf, int64_t n, uint32_t seed) {
+  uint32_t crc = ~seed;
+#ifdef __SSE4_2__
+  while (n >= 8) {
+    uint64_t w;
+    std::memcpy(&w, buf, 8);
+    crc = static_cast<uint32_t>(_mm_crc32_u64(crc, w));
+    buf += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = _mm_crc32_u8(crc, *buf++);
+#else
+  crc = crc32c_sw(crc, buf, n);
+#endif
+  return ~crc;
+}
+
+}  // extern "C"

@@ -4,16 +4,23 @@ Implements the reference's ``kafka_message_queue`` update source (reference
 README.md:213-218, docs/hierarchical_parameter_server.md:575-646;
 UpdateSourceParams parsing backend.cpp:263-308) WITHOUT any Kafka client
 dependency: a minimal implementation of the Kafka binary protocol over TCP,
-using the v0 wire versions of four APIs —
+speaking TWO wire dialects of four APIs —
 
     Produce(0) / Fetch(1) / ListOffsets(2) / Metadata(3)
 
-with MessageSet v0 framing (offset i64 | size i32 | crc32 i32 | magic=0 |
-attrs=0 | key | value). v0 is the most widely accepted subset: every Apache
-Kafka broker from 0.8 through 3.x speaks it. Kafka 4.0 dropped the v0/v1
-message format (KIP-896); the client DETECTS that at connect time via
-ApiVersions(18) and fails with an actionable error (bridge via the file
-queue there) instead of silently misbehaving.
+negotiated at connect time via ApiVersions(18):
+
+  * **v0 dialect** — MessageSet v0 framing (offset i64 | size i32 |
+    crc32 i32 | magic=0 | attrs=0 | key | value); spoken by every Apache
+    Kafka broker from 0.8 through 3.x and by MiniKafkaBroker.
+  * **v2 dialect** — Produce v3 / Fetch v4 / ListOffsets v1 / Metadata v4
+    with magic=2 RecordBatch framing (update/record_batch.py, CRC32C
+    checksums): the baseline Kafka 4.0 kept after dropping the v0/v1
+    message formats (KIP-896), and the format stock librdkafka/Java
+    trainer-side producers emit on >=0.11 brokers.
+
+A broker that speaks neither subset fails at connect with an actionable
+error instead of silently misbehaving.
 
 Topics may be multi-partition: the consumer fetches EVERY partition
 returned by Metadata (per-partition local offsets), and the producer
@@ -47,12 +54,17 @@ import os
 import socket
 import struct
 import threading
+import time
 import zlib
 from pathlib import Path
 from typing import Iterator, Optional
 
 import numpy as np
 
+from hugectr_backend_tpu.update.record_batch import (
+    decode_record_batches,
+    encode_record_batch,
+)
 from hugectr_backend_tpu.update.source import MessageProducer, MessageSource
 from hugectr_backend_tpu.utils.logging import get_logger
 
@@ -183,9 +195,16 @@ def decode_message_set(raw: bytes):
 # ---------------------------------------------------------------- client
 
 class KafkaClient:
-    """One-broker v0 client (metadata-discovered leaders reuse the same
+    """One-broker client (metadata-discovered leaders reuse the same
     socket when they are the bootstrap broker — the mini broker and any
-    single-node deployment; multi-node clusters get per-leader sockets)."""
+    single-node deployment; multi-node clusters get per-leader sockets).
+
+    Dialect (``self.mode``) is negotiated lazily on first use: "v2"
+    (RecordBatch framing, the Kafka >=0.11 native format — preferred, since
+    it is what modern brokers store and what trainer-side producers emit,
+    avoiding broker-side format down-conversion) when the broker supports
+    Produce v3 / Fetch v4 / ListOffsets v1 / Metadata v4, else "v0"
+    (MessageSet framing, brokers 0.8-3.x)."""
 
     def __init__(self, bootstrap: str, client_id: str = "hps-tpu",
                  recv_buffer: int = 1 << 20, timeout_s: float = 10.0):
@@ -194,6 +213,7 @@ class KafkaClient:
         self.client_id = client_id
         self.recv_buffer = recv_buffer
         self.timeout_s = timeout_s
+        self.mode: Optional[str] = None  # "v0" | "v2" once negotiated
         self._corr = 0
         self._socks: dict[tuple, socket.socket] = {}
         self._lock = threading.Lock()
@@ -279,47 +299,83 @@ class KafkaClient:
             out[api] = (r.i16(), r.i16())
         return out
 
-    def check_v0_compat(self) -> None:
-        """Fail fast with an actionable error when the broker no longer
-        accepts the v0 wire versions this client speaks (Kafka 4.0 dropped
-        v0/v1 message-format and the oldest request versions — KIP-896)."""
+    # Per-dialect (api -> version) tables.
+    _V2_VERSIONS = {_API_PRODUCE: 3, _API_FETCH: 4, _API_LIST_OFFSETS: 1,
+                    _API_METADATA: 4}
+
+    def negotiate(self) -> str:
+        """Pick the wire dialect from ApiVersions; fail fast with an
+        actionable error when the broker speaks neither (Kafka 4.0 dropped
+        v0/v1 per KIP-896 — those brokers take the v2 dialect here; a
+        future broker that drops the non-flexible versions too would land
+        in the error branch)."""
+        if self.mode:
+            return self.mode
         try:
             vers = self.api_versions()
         except (OSError, EOFError):
             # Pre-0.10 broker (drops unknown APIs): v0 is all it speaks.
-            return
-        for api, name in ((_API_PRODUCE, "Produce"), (_API_FETCH, "Fetch"),
-                          (_API_LIST_OFFSETS, "ListOffsets"),
-                          (_API_METADATA, "Metadata")):
-            lo, _hi = vers.get(api, (0, 0))
-            if lo > 0:
-                raise IOError(
-                    f"kafka broker at {self.bootstrap[0]}:{self.bootstrap[1]}"
-                    f" requires {name} >= v{lo}; this transport speaks the"
-                    " v0 wire subset (dropped in Kafka 4.0, KIP-896). Use a"
-                    " <=3.x broker, or bridge updates through the file-queue"
-                    " update source (update_source.type=file_queue)."
-                )
+            self.mode = "v0"
+            return self.mode
+
+        def ok(api: int, v: int) -> bool:
+            lo, hi = vers.get(api, (0, -1))
+            return lo <= v <= hi
+
+        if all(ok(a, v) for a, v in self._V2_VERSIONS.items()):
+            self.mode = "v2"
+        elif all(ok(a, 0) for a in self._V2_VERSIONS):
+            self.mode = "v0"
+        else:
+            supported = {a: vers.get(a) for a in self._V2_VERSIONS}
+            raise IOError(
+                f"kafka broker at {self.bootstrap[0]}:{self.bootstrap[1]}"
+                f" supports neither the v0 MessageSet dialect (Kafka 0.8-3.x;"
+                f" removed in Kafka 4.0, KIP-896) nor the v2 RecordBatch"
+                f" dialect (Produce v3/Fetch v4/ListOffsets v1/Metadata v4)"
+                f" this transport speaks — broker versions: {supported}. Use"
+                " a standard Apache Kafka broker, or bridge updates through"
+                " the file-queue update source"
+                " (update_source.type=file_queue)."
+            )
+        log.info("kafka dialect negotiated: %s (%s:%s)", self.mode,
+                 self.bootstrap[0], self.bootstrap[1])
+        return self.mode
 
     def metadata(self, topics: "Optional[list[str]]" = None):
         """-> (brokers {node: (host, port)}, topics {name: [partition ids]})."""
+        v2 = self.negotiate() == "v2"
         if topics is None:
-            body = struct.pack(">i", 0)  # empty array = all topics
+            # "all topics" spells differently per version: v0 empty array,
+            # v1+ null array.
+            body = struct.pack(">i", -1 if v2 else 0)
         else:
             body = struct.pack(">i", len(topics)) + b"".join(
                 _enc_str(t) for t in topics
             )
-        r = self._roundtrip(_API_METADATA, 0, body)
+        if v2:
+            body += struct.pack(">b", 1)  # allow_auto_topic_creation
+            r = self._roundtrip(_API_METADATA, 4, body)
+            r.i32()  # throttle_time_ms
+        else:
+            r = self._roundtrip(_API_METADATA, 0, body)
         brokers = {}
         for _ in range(r.i32()):
             node = r.i32()
             host = r.string()
             port = r.i32()
+            if v2:
+                r.string()  # rack (nullable)
             brokers[node] = (host, port)
+        if v2:
+            r.string()  # cluster_id (nullable)
+            r.i32()  # controller_id
         out: dict[str, list[int]] = {}
         for _ in range(r.i32()):
             terr = r.i16()
             name = r.string()
+            if v2:
+                r.i8()  # is_internal
             parts = []
             for _ in range(r.i32()):
                 r.i16()  # partition error
@@ -336,14 +392,27 @@ class KafkaClient:
 
     def produce(self, topic: str, partition: int,
                 entries: "list[tuple[bytes | None, bytes]]") -> int:
-        ms = encode_message_set(entries)
-        body = (
-            struct.pack(">hi", 1, 10000)  # acks=1, timeout
-            + struct.pack(">i", 1) + _enc_str(topic)
-            + struct.pack(">i", 1) + struct.pack(">i", partition)
-            + struct.pack(">i", len(ms)) + ms
-        )
-        r = self._roundtrip(_API_PRODUCE, 0, body)
+        v2 = self.negotiate() == "v2"
+        if v2:
+            ms = encode_record_batch(
+                entries, timestamp_ms=int(time.time() * 1000))
+            body = (
+                _enc_str(None)  # transactional_id
+                + struct.pack(">hi", 1, 10000)  # acks=1, timeout
+                + struct.pack(">i", 1) + _enc_str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + _enc_bytes(ms)
+            )
+            r = self._roundtrip(_API_PRODUCE, 3, body)
+        else:
+            ms = encode_message_set(entries)
+            body = (
+                struct.pack(">hi", 1, 10000)  # acks=1, timeout
+                + struct.pack(">i", 1) + _enc_str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + struct.pack(">i", len(ms)) + ms
+            )
+            r = self._roundtrip(_API_PRODUCE, 0, body)
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
@@ -358,27 +427,69 @@ class KafkaClient:
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20, max_wait_ms: int = 0):
         """-> (highwater, [(offset, key, value)])."""
-        body = (
-            struct.pack(">iii", -1, max_wait_ms, 0)  # replica, wait, min_bytes
-            + struct.pack(">i", 1) + _enc_str(topic)
-            + struct.pack(">i", 1)
-            + struct.pack(">iqi", partition, offset, max_bytes)
-        )
-        r = self._roundtrip(_API_FETCH, 0, body)
+        v2 = self.negotiate() == "v2"
+        if v2:
+            body = (
+                # replica, wait, min_bytes, max_bytes(total), isolation=0
+                struct.pack(">iiiib", -1, max_wait_ms, 0, max_bytes, 0)
+                + struct.pack(">i", 1) + _enc_str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes)
+            )
+            r = self._roundtrip(_API_FETCH, 4, body)
+            r.i32()  # throttle_time_ms
+        else:
+            body = (
+                struct.pack(">iii", -1, max_wait_ms, 0)
+                + struct.pack(">i", 1) + _enc_str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes)
+            )
+            r = self._roundtrip(_API_FETCH, 0, body)
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
                 r.i32()  # partition
                 err = r.i16()
                 hw = r.i64()
+                if v2:
+                    r.i64()  # last_stable_offset
+                    n_aborted = r.i32()  # nullable array: -1 == none
+                    for _ in range(max(n_aborted, 0)):
+                        r.i64()  # producer_id
+                        r.i64()  # first_offset
                 ms = r.bytes_() or b""
                 if err:
                     raise IOError(f"kafka fetch error {err} on {topic}")
-                return hw, decode_message_set(ms)
+                msgs = (decode_record_batches(ms) if v2
+                        else decode_message_set(ms))
+                # A batch's base offset can precede the requested offset
+                # (broker returns whole batches): drop already-seen records.
+                return hw, [m for m in msgs if m[0] >= offset]
         return 0, []
 
     def list_offsets(self, topic: str, partition: int, time_ms: int = -2) -> int:
         """time_ms -2 = earliest, -1 = latest."""
+        v2 = self.negotiate() == "v2"
+        if v2:
+            body = (
+                struct.pack(">i", -1)
+                + struct.pack(">i", 1) + _enc_str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iq", partition, time_ms)
+            )
+            r = self._roundtrip(_API_LIST_OFFSETS, 1, body)
+            for _ in range(r.i32()):
+                r.string()
+                for _ in range(r.i32()):
+                    r.i32()
+                    err = r.i16()
+                    r.i64()  # timestamp
+                    off = r.i64()
+                    if err:
+                        raise IOError(f"kafka list_offsets error {err}")
+                    return off
+            return 0
         body = (
             struct.pack(">i", -1)
             + struct.pack(">i", 1) + _enc_str(topic)
@@ -448,7 +559,7 @@ class KafkaQueueSource(MessageProducer, MessageSource):
 
     def _ensure_compat(self):
         if not self._compat_checked:
-            self.client.check_v0_compat()
+            self.client.negotiate()
             self._compat_checked = True
 
     def _partitions(self, topic: str, refresh: bool = False) -> int:

@@ -1,12 +1,18 @@
-"""In-process Kafka-v0 mini broker (single node, N partitions/topic).
+"""In-process Kafka mini broker (single node, N partitions/topic).
 
-Speaks the same protocol subset as update/kafka_lite.py — Produce(0),
-Fetch(1), ListOffsets(2), Metadata(3) at v0 with MessageSet v0 framing,
-plus ApiVersions(18) v0 — so the ``kafka_message_queue`` transport can be
-integration-tested (and used as a lightweight single-host queue) with no
-external broker. Topics auto-create on first produce with
-``num_partitions`` partitions; logs are in-memory lists, offsets are dense
-per (topic, partition).
+Speaks the same protocol subset as update/kafka_lite.py — Produce, Fetch,
+ListOffsets, Metadata plus ApiVersions(18) — in either wire dialect, so the
+``kafka_message_queue`` transport can be integration-tested (and used as a
+lightweight single-host queue) with no external broker:
+
+  * ``dialect="v0"`` (default): the v0 request versions with MessageSet v0
+    framing, like an Apache Kafka 0.8-3.x broker.
+  * ``dialect="v2"``: Produce v3 / Fetch v4 / ListOffsets v1 / Metadata v4
+    with magic=2 RecordBatch framing (update/record_batch.py) and the v0
+    request versions REJECTED — like a Kafka >=4.0 broker after KIP-896.
+
+Topics auto-create on first produce with ``num_partitions`` partitions;
+logs are in-memory lists, offsets are dense per (topic, partition).
 
     broker = MiniKafkaBroker(num_partitions=3).start()   # broker.port
     ...
@@ -27,12 +33,18 @@ from hugectr_backend_tpu.update.kafka_lite import (
     decode_message_set,
     encode_message_set,
 )
+from hugectr_backend_tpu.update.record_batch import (
+    decode_record_batches,
+    encode_record_batch,
+)
 
 
 class MiniKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 num_partitions: int = 1):
+                 num_partitions: int = 1, dialect: str = "v0"):
+        assert dialect in ("v0", "v2"), dialect
         self.host = host
+        self.dialect = dialect
         self.num_partitions = max(int(num_partitions), 1)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -123,47 +135,85 @@ class MiniKafkaBroker:
 
     # ------------------------------------------------------------- handlers
 
+    # Request versions each dialect accepts, per api key.
+    _VERSIONS = {
+        "v0": {0: 0, 1: 0, 2: 0, 3: 0},
+        "v2": {0: 3, 1: 4, 2: 1, 3: 4},
+    }
+
     def _handle(self, payload: bytes) -> bytes:
         r = _Reader(payload)
         api = r.i16()
         version = r.i16()
         corr = r.i32()
         r.string()  # client_id
-        if version != 0:
-            raise IOError(f"mini broker speaks v0 only, got v{version}")
+        if api != 18 and version != self._VERSIONS[self.dialect].get(api):
+            raise IOError(
+                f"mini broker dialect {self.dialect} rejects api {api}"
+                f" v{version}"
+            )
+        v2 = self.dialect == "v2"
         body = {
-            0: self._produce,
-            1: self._fetch,
-            2: self._list_offsets,
-            3: self._metadata,
+            0: self._produce_v3 if v2 else self._produce,
+            1: self._fetch_v4 if v2 else self._fetch,
+            2: self._list_offsets_v1 if v2 else self._list_offsets,
+            3: self._metadata_v4 if v2 else self._metadata,
             18: self._api_versions,
         }[api](r)
         return struct.pack(">i", corr) + body
 
     def _api_versions(self, r: _Reader) -> bytes:
-        apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (18, 0, 0)]
+        if self.dialect == "v2":
+            # A post-KIP-896 broker: v0 request versions are gone.
+            apis = [(0, 3, 9), (1, 4, 13), (2, 1, 8), (3, 1, 12), (18, 0, 3)]
+        else:
+            apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (18, 0, 0)]
         out = struct.pack(">hi", 0, len(apis))
         for api, lo, hi in apis:
             out += struct.pack(">hhh", api, lo, hi)
         return out
 
+    def _metadata_names(self, want):
+        with self._lock:
+            return want or sorted({t for t, _ in self.logs})
+
     def _metadata(self, r: _Reader) -> bytes:
         want = [r.string() for _ in range(r.i32())]
-        with self._lock:
-            names = want or sorted({t for t, _ in self.logs})
-            out = struct.pack(">i", 1)  # one broker
-            out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(
-                ">i", self.port
-            )
-            out += struct.pack(">i", len(names))
-            for name in names:
-                out += struct.pack(">h", 0) + _enc_str(name)
-                out += struct.pack(">i", self.num_partitions)
-                for pid in range(self.num_partitions):
-                    out += struct.pack(">hii", 0, pid, 0)  # err, id, leader
-                    out += struct.pack(">i", 1) + struct.pack(">i", 0)
-                    out += struct.pack(">i", 1) + struct.pack(">i", 0)
-            return out
+        names = self._metadata_names(want)
+        out = struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(
+            ">i", self.port
+        )
+        out += struct.pack(">i", len(names))
+        for name in names:
+            out += struct.pack(">h", 0) + _enc_str(name)
+            out += struct.pack(">i", self.num_partitions)
+            for pid in range(self.num_partitions):
+                out += struct.pack(">hii", 0, pid, 0)  # err, id, leader
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)
+        return out
+
+    def _metadata_v4(self, r: _Reader) -> bytes:
+        n = r.i32()  # nullable: -1 (or 0) == all topics
+        want = [r.string() for _ in range(max(n, 0))]
+        r.i8()  # allow_auto_topic_creation
+        names = self._metadata_names(want)
+        out = struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", 0) + _enc_str(self.host)
+        out += struct.pack(">i", self.port) + _enc_str(None)  # rack
+        out += _enc_str("mini-cluster") + struct.pack(">i", 0)  # controller
+        out += struct.pack(">i", len(names))
+        for name in names:
+            out += struct.pack(">h", 0) + _enc_str(name)
+            out += struct.pack(">b", 0)  # is_internal
+            out += struct.pack(">i", self.num_partitions)
+            for pid in range(self.num_partitions):
+                out += struct.pack(">hii", 0, pid, 0)  # err, id, leader
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)
+                out += struct.pack(">i", 1) + struct.pack(">i", 0)
+        return out
 
     def _produce(self, r: _Reader) -> bytes:
         r.i16()  # acks
@@ -236,4 +286,87 @@ class MiniKafkaBroker:
                     off = 0 if time_ms == -2 else len(log)
                 out += struct.pack(">ih", pid, 0)
                 out += struct.pack(">i", 1) + struct.pack(">q", off)
+        return out
+
+    # -------------------------------------------------- v2-dialect handlers
+
+    def _produce_v3(self, r: _Reader) -> bytes:
+        r.string()  # transactional_id (nullable)
+        r.i16()  # acks
+        r.i32()  # timeout
+        out_topics = b""
+        ntopics = r.i32()
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            parts_out = b""
+            for _ in range(nparts):
+                pid = r.i32()
+                ms = r.bytes_() or b""
+                msgs = decode_record_batches(ms, verify_crc=True)
+                if not 0 <= pid < self.num_partitions:
+                    parts_out += struct.pack(">ihqq", pid, 3, -1, -1)
+                    continue
+                with self._lock:
+                    log = self.logs.setdefault((topic, pid), [])
+                    base = len(log)
+                    for _off, key, value in msgs:
+                        log.append((key, value))
+                # err, base_offset, log_append_time
+                parts_out += struct.pack(">ihqq", pid, 0, base, -1)
+            out_topics += _enc_str(topic) + struct.pack(">i", nparts) + parts_out
+        return (struct.pack(">i", ntopics) + out_topics
+                + struct.pack(">i", 0))  # throttle_time_ms
+
+    def _fetch_v4(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        r.i32()  # max_bytes (response total)
+        r.i8()  # isolation_level
+        ntopics = r.i32()
+        out = struct.pack(">i", 0)  # throttle_time_ms
+        out += struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                offset = r.i64()
+                max_bytes = r.i32()
+                with self._lock:
+                    log = self.logs.get((topic, pid), [])
+                    hw = len(log)
+                    entries = log[offset : offset + 1000]
+                # One single-record batch per message (real brokers return
+                # whatever batch boundaries the producer sent; per-record
+                # batches exercise the client's multi-batch decode).
+                ms = b""
+                for i, (key, value) in enumerate(entries):
+                    ms += encode_record_batch([(key, value)],
+                                              base_offset=offset + i)
+                    if len(ms) >= max_bytes:
+                        break
+                out += struct.pack(">ihqq", pid, 0, hw, hw)  # err, hw, lso
+                out += struct.pack(">i", -1)  # aborted_transactions: null
+                out += _enc_bytes(ms)
+        return out
+
+    def _list_offsets_v1(self, r: _Reader) -> bytes:
+        r.i32()  # replica
+        ntopics = r.i32()
+        out = struct.pack(">i", ntopics)
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                time_ms = r.i64()
+                with self._lock:
+                    log = self.logs.get((topic, pid), [])
+                    off = 0 if time_ms == -2 else len(log)
+                # err, timestamp, offset
+                out += struct.pack(">ihqq", pid, 0, -1, off)
         return out
