@@ -605,14 +605,34 @@ def main():
                         r.sum() for r in big_rows)
                     bump = tot.astype(jnp.int32)
                 else:
-                    embs = [None] * n_tables
-                    for j, t in enumerate(oh_idx):
-                        embs[t] = oh_rows[j * batch:(j + 1) * batch]
-                    for j, t in enumerate(ar_idx):
-                        embs[t] = ar_rows[j * batch:(j + 1) * batch]
+                    # Hand the dense model the lookup outputs CHUNKED
+                    # (EmbParts): the Pallas interaction assembles z in
+                    # VMEM, so the [B, 26, D] stack never hits HBM (the
+                    # stack materialization erased the kernel's win —
+                    # bench_artifacts/pallas_interaction_parts.json). On
+                    # the XLA path EmbParts.stack() reproduces jnp.stack.
+                    from hugectr_backend_tpu.ops.fused_interaction import (
+                        EmbParts,
+                    )
+
+                    fmap = [None] * n_tables
+                    parts = []
+                    if len(oh_idx):
+                        pi = len(parts)
+                        parts.append(
+                            oh_rows.reshape(len(oh_idx), batch, -1))
+                        for j, t in enumerate(oh_idx):
+                            fmap[t] = (pi, j)
+                    if len(ar_idx):
+                        pi = len(parts)
+                        parts.append(
+                            ar_rows.reshape(len(ar_idx), batch, -1))
+                        for j, t in enumerate(ar_idx):
+                            fmap[t] = (pi, j)
                     for j, t in enumerate(big_idx):
-                        embs[t] = big_rows[j]
-                    emb = jnp.stack(embs, axis=1)  # [B, 26, D]
+                        fmap[t] = (len(parts), 0)
+                        parts.append(big_rows[j][None])
+                    emb = EmbParts(parts, fmap)
                     logits = e2e_model.apply(mp, dense, emb)
                     tot = logits.sum()
                     bump = tot.astype(jnp.int32)
@@ -699,7 +719,7 @@ def main():
             BATCH / us_e2e_bf16 * 1e6, 1),
         "fused_dlrm_bf16cast_dense_batch_latency_us": round(us_e2e_bf16, 1),
     }
-    for fmt in ("int8", "fp8"):
+    for fmt in ("int8", "fp8", "w8a8"):
         qm = DLRM(**arch, quant_fmt=fmt)
         qp = quantize_model_params(params, fmt)
         us_q = slope_us(BATCH, e2e=(qm, qp, dense0))

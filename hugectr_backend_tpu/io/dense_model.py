@@ -20,14 +20,14 @@ Spec schema::
 
     {"format": "hps_tpu_dense_v1",
      "reshape": [-1, 416],            # applied to the incoming flat tensor
-     "quant": "int8",                 # optional: weight-only int8/fp8 kernels
+     "quant": "int8",                 # optional: int8/fp8 weight-only, or w8a8
      "layers": [{"units": 256, "activation": "relu"}, ...]}
 
 With ``quant`` set, weights are stored column-scaled (``layers.<i>.wq`` +
 ``layers.<i>.wscale``) and the matmuls run in bf16 on the MXU with the
 dequant multiply fused into the weight operand — the dense-side analogue of
 the reference's ``fp8_quant`` flag (reference backend.cpp:500-504). Convert
-with ``tools/convert_dense_model.py --quant int8|fp8``.
+with ``tools/convert_dense_model.py --quant int8|fp8|w8a8``.
 
 Foreign formats are not executed: ``tools/convert_dense_model.py`` converts a
 torch MLP (state_dict or TorchScript) into this format at deploy time —
@@ -123,7 +123,19 @@ class DenseModel:
             x = x.reshape(self.reshape)
         quant = self.spec.get("quant")
         for i, ((w, b), layer) in enumerate(zip(self.weights, self.spec["layers"])):
-            if quant:
+            if quant == "w8a8":
+                # Dynamic per-row activation int8 + s8xs8->s32 MXU pass
+                # (2x the bf16 rate on v5e); rank-1 rescale dequantizes.
+                from hugectr_backend_tpu.models.quant_dense import (
+                    quantize_activations,
+                )
+
+                xq, xs = quantize_activations(x.astype(jnp.float32))
+                acc = jax.lax.dot_general(
+                    xq, w, dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                x = acc.astype(jnp.float32) * xs * self.scales[i][None, :] + b
+            elif quant:
                 # Weight-only dequant fuses into the bf16 MXU matmul; the
                 # f32 accumulate keeps additions exact.
                 wd = w.astype(jnp.bfloat16) * self.scales[i].astype(
@@ -164,7 +176,7 @@ class DenseModel:
                 f"{spec_path}: unsupported format {spec.get('format')!r}"
             )
         quant = spec.get("quant")
-        if quant not in (None, "int8", "fp8"):
+        if quant not in (None, "int8", "fp8", "w8a8"):
             raise ConfigError(f"{spec_path}: unsupported quant {quant!r}")
         with np.load(vdir / WEIGHTS_FILE) as z:
             weights, scales = [], []
@@ -200,13 +212,15 @@ def save_dense_model(
 ) -> Path:
     """Write the native dense format. ``weights[i]`` is (w [in,out], b [out]).
 
-    ``quant`` ("int8" | "fp8") stores column-scaled quantized kernels; the
-    fp32 weights passed in are quantized here (deploy-time conversion)."""
+    ``quant`` ("int8" | "fp8" | "w8a8") stores column-scaled quantized
+    kernels; the fp32 weights passed in are quantized here (deploy-time
+    conversion). "w8a8" also quantizes activations at serve time and runs
+    the matmuls as int8 MXU passes (2x bf16 rate on v5e)."""
     vdir = Path(version_dir)
     vdir.mkdir(parents=True, exist_ok=True)
     if len(weights) != len(activations):
         raise ValueError("need one activation per layer")
-    if quant not in (None, "int8", "fp8"):
+    if quant not in (None, "int8", "fp8", "w8a8"):
         raise ValueError(f"unsupported quant {quant!r}")
     spec = {
         "format": "hps_tpu_dense_v1",

@@ -30,15 +30,16 @@ import jax.numpy as jnp
 
 
 class MLP(nn.Module):
-    """Serving MLP; ``quant_fmt`` selects weight-only int8/fp8 kernels
-    (models/quant_dense.py — the reference's ``fp8_quant`` dense analogue,
-    reference backend.cpp:500-504). Convert trained fp32 params with
+    """Serving MLP; ``quant_fmt`` selects weight-only int8/fp8 kernels or
+    the w8a8 int8-MXU path (models/quant_dense.py — the reference's
+    ``fp8_quant`` dense analogue, reference backend.cpp:500-504). Convert
+    trained fp32 params with
     :func:`hugectr_backend_tpu.models.quant_dense.quantize_model_params`."""
 
     widths: Sequence[int]
     compute_dtype: jnp.dtype = jnp.float32
     final_activation: bool = True
-    quant_fmt: Optional[str] = None  # None | "int8" | "fp8"
+    quant_fmt: Optional[str] = None  # None | "int8" | "fp8" | "w8a8"
 
     @nn.compact
     def __call__(self, x):
@@ -72,6 +73,12 @@ class DotInteraction(nn.Module):
     by 8; env kill-switch HPS_PALLAS_INTERACTION=0), True/False = force.
     Both paths use bf16 MXU passes with f32 accumulation — on-device
     outputs are bit-identical (parity_rel_err 0.0 in the bench artifact).
+
+    ``emb`` may also be an :class:`~hugectr_backend_tpu.ops.
+    fused_interaction.EmbParts` — the lookup engine's chunked outputs.
+    The Pallas kernel then assembles z in VMEM and the [B, T, D] stack
+    never materializes in HBM (stacking it first erases the kernel's win:
+    +91 us vs the fused-into-einsum XLA stack at the headline shape).
     """
 
     self_interaction: bool = False
@@ -79,7 +86,9 @@ class DotInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, bottom_out, emb):
-        # bottom_out [B, D], emb [B, T, D]
+        # bottom_out [B, D], emb [B, T, D] or EmbParts
+        from hugectr_backend_tpu.ops.fused_interaction import EmbParts
+
         use = self.use_pallas
         if use is None:
             import jax
@@ -92,11 +101,19 @@ class DotInteraction(nn.Module):
         if use and not self.self_interaction:
             from hugectr_backend_tpu.ops.fused_interaction import (
                 fused_dot_interaction,
+                fused_dot_interaction_parts,
             )
 
+            if isinstance(emb, EmbParts):
+                ep = emb.astype(bottom_out.dtype)
+                return fused_dot_interaction_parts(
+                    bottom_out, ep.parts, ep.feature_map
+                )
             return fused_dot_interaction(
                 bottom_out, emb.astype(bottom_out.dtype)
             )
+        if isinstance(emb, EmbParts):
+            emb = emb.stack().astype(bottom_out.dtype)
         z = jnp.concatenate([bottom_out[:, None, :], emb], axis=1)  # [B, F, D]
         zzt = jnp.einsum(
             "bfd,bgd->bfg", z, z, preferred_element_type=jnp.float32

@@ -1,4 +1,4 @@
-"""Weight-only quantized dense layers (INT8 / FP8-e4m3) for serving.
+"""Quantized dense layers (INT8 / FP8-e4m3 weight-only, and W8A8) for serving.
 
 BASELINE config 5 calls for FP8 dense layers; the reference exposes
 ``fp8_quant`` and ``use_mixed_precision`` (reference backend.cpp:500-504,
@@ -11,6 +11,16 @@ to the unquantized net. Measured latency-NEUTRAL at the headline shape
 (weights are a tiny fraction of the traffic, ROOFLINE.md §6) — the win is
 4x weight capacity; it becomes a latency lever for weight-traffic-bound
 shapes (small batch / very wide nets).
+
+``fmt="w8a8"`` additionally quantizes ACTIVATIONS at runtime (dynamic
+symmetric per-row absmax — no calibration pass) and issues a true
+s8 x s8 -> s32 ``dot_general``: the v5e MXU executes int8 passes at 2x the
+bf16 rate (394.7 vs 197.4 TOPS), so compute-bound dense stacks halve their
+matmul time where weight-only cannot. This is the latency analogue of the
+reference's fp8_quant on H100 (TPU v5e has no fp8 MXU mode; int8 is the
+native 2x format). Accuracy: dynamic per-row + per-column scales is the
+standard serving recipe; parity-tested against the f32 net in
+tests/test_parity_and_resume.py.
 
 ``quantize_dense_params`` converts a trained Flax ``Dense`` param tree in
 place, so existing checkpoints deploy quantized without retraining.
@@ -35,7 +45,7 @@ def quantize_weight(w: np.ndarray, fmt: str = "int8"):
     w = np.asarray(w, np.float32)
     absmax = np.abs(w).max(axis=0)
     absmax = np.where(absmax == 0, 1.0, absmax)
-    if fmt == "int8":
+    if fmt in ("int8", "w8a8"):
         scale = (absmax / INT8_QMAX).astype(np.float32)
         q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
     elif fmt == "fp8":
@@ -48,6 +58,14 @@ def quantize_weight(w: np.ndarray, fmt: str = "int8"):
     return q, scale
 
 
+def quantize_activations(x: jnp.ndarray):
+    """Dynamic symmetric per-row int8: [.., K] -> (q int8, scale [.., 1])."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / INT8_QMAX
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 class QuantDense(nn.Module):
     """Dense layer with weight-only quantized kernel.
 
@@ -57,7 +75,7 @@ class QuantDense(nn.Module):
     """
 
     features: int
-    fmt: str = "int8"  # "int8" | "fp8"
+    fmt: str = "int8"  # "int8" | "fp8" | "w8a8"
     compute_dtype: jnp.dtype = jnp.float32
     use_bias: bool = True
 
@@ -70,13 +88,13 @@ class QuantDense(nn.Module):
 
             qdtype = ml_dtypes.float8_e4m3fn
 
-        qmax = INT8_QMAX if self.fmt == "int8" else FP8_E4M3_MAX
+        qmax = FP8_E4M3_MAX if self.fmt == "fp8" else INT8_QMAX
 
         def init_q(key, shape, dtype=None):
             w = jax.nn.initializers.lecun_normal()(key, shape, jnp.float32)
             scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / qmax
             q = w / scale[None, :]
-            if self.fmt == "int8":
+            if self.fmt != "fp8":
                 return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
             return q.astype(qdtype)
 
@@ -88,13 +106,26 @@ class QuantDense(nn.Module):
 
         kernel_q = self.param("kernel_q", init_q, (in_features, self.features))
         kernel_scale = self.param("kernel_scale", init_s, (self.features,))
-        # Dequant fuses into the matmul operand; compute in bf16 on the MXU.
-        w = kernel_q.astype(self.compute_dtype) * kernel_scale.astype(
-            self.compute_dtype
-        )[None, :]
-        y = jnp.dot(
-            x.astype(self.compute_dtype), w, preferred_element_type=jnp.float32
-        )
+        if self.fmt == "w8a8":
+            # Quantize activations on the fly (per-row absmax) and run a
+            # true s8 x s8 -> s32 contraction: the v5e MXU executes int8
+            # passes at 2x the bf16 rate. The dequant is one rank-1 rescale.
+            xq, xs = quantize_activations(x.astype(jnp.float32))
+            acc = jax.lax.dot_general(
+                xq, kernel_q,
+                dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * xs * kernel_scale[None, :]
+        else:
+            # Dequant fuses into the matmul operand; bf16 MXU passes.
+            w = kernel_q.astype(self.compute_dtype) * kernel_scale.astype(
+                self.compute_dtype
+            )[None, :]
+            y = jnp.dot(
+                x.astype(self.compute_dtype), w,
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias

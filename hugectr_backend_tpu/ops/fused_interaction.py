@@ -155,3 +155,180 @@ def _bwd(interpret, res, g):
 
 
 fused_dot_interaction.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------------------- parts variant
+#
+# The fused serving program's embedding features arrive as CHUNKED lookup
+# outputs (one-hot MXU block [n_oh, B, D], arena-gather block [n_ar, B, D],
+# solo tables [1, B, D]) — not as one [B, T, D] tensor. Stacking them in HBM
+# just to feed the interaction costs a full write+read of the stacked tensor
+# plus a layout copy: measured on v5e at batch 4096/T=26/D=128, the Pallas
+# kernel goes from -56 us (direct [B,T,D] input, 161 vs 218) to +91 us
+# (stack first, 428 vs 336) — the stack materialization erases the win
+# (bench_artifacts/pallas_interaction_parts.json). This variant assembles z
+# in VMEM straight from the chunks, so the [B, T, D] tensor never exists.
+
+
+@jax.tree_util.register_pytree_node_class
+class EmbParts:
+    """Embedding features held as the lookup engine's chunked outputs.
+
+    ``parts[i]`` is [n_i, B, D] (feature-major chunks); ``feature_map[t]``
+    = (part_idx, sub_idx) places each model feature. Behaves enough like the
+    stacked [B, T, D] tensor (shape/astype) for model code; ``stack()``
+    materializes it for the XLA fallback path.
+    """
+
+    def __init__(self, parts, feature_map):
+        self.parts = list(parts)
+        self.feature_map = tuple(tuple(x) for x in feature_map)
+
+    @property
+    def shape(self):
+        _, b, d = self.parts[0].shape
+        return (b, len(self.feature_map), d)
+
+    @property
+    def ndim(self):
+        return 3
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    def astype(self, dt):
+        return EmbParts([p.astype(dt) for p in self.parts], self.feature_map)
+
+    def stack(self):
+        return jnp.stack(
+            [self.parts[p][s] for (p, s) in self.feature_map], axis=1
+        )
+
+    def tree_flatten(self):
+        return tuple(self.parts), self.feature_map
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, aux)
+
+
+def _kernel_parts(*refs, dim: int, feats: int, fmap):
+    bot_ref = refs[0]
+    part_refs = refs[1:-1]
+    out_ref = refs[-1]
+    bot = bot_ref[...]  # [bb, D]
+    cols = [bot[:, None, :]]
+    for p, s in fmap:
+        cols.append(part_refs[p][s][:, None, :])  # [bb, 1, D]
+    z = jnp.concatenate(cols, axis=1)  # [bb, F, D]
+    zb = z.astype(jnp.bfloat16)
+    zzt = jax.lax.dot_general(
+        zb,
+        zb,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:, :dim] = bot
+    off = dim
+    for f in range(feats - 1):
+        n = feats - 1 - f
+        out_ref[:, off : off + n] = zzt[:, f, f + 1 :].astype(out_ref.dtype)
+        off += n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("feature_map", "interpret", "block")
+)
+def _fused_pallas_parts(bottom, parts, *, feature_map, interpret=False,
+                        block: int = 0):
+    batch, dim = bottom.shape
+    feats = len(feature_map) + 1
+    pairs = feats * (feats - 1) // 2
+    bb = block or _pick_block(batch)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_parts, dim=dim, feats=feats, fmap=feature_map
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, dim + pairs), bottom.dtype),
+        grid=(batch // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec(
+                (p.shape[0], bb, dim),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for p in parts
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, dim + pairs), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * feats * feats * dim,
+            bytes_accessed=(
+                bottom.size * bottom.dtype.itemsize
+                + sum(p.size * p.dtype.itemsize for p in parts)
+                + batch * (dim + pairs) * bottom.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bottom, *parts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_dot_interaction_parts(bottom, parts, feature_map,
+                                interpret: bool = False):
+    """``fused_dot_interaction`` taking chunked features (see EmbParts).
+
+    bottom [B, D]; parts: list of [n_i, B, D]; feature_map[t] =
+    (part_idx, sub_idx). Assembles z in VMEM — the stacked [B, T, D]
+    never materializes in HBM.
+    """
+    if _pick_block(bottom.shape[0]) == 0:
+        return _xla_reference(
+            bottom, EmbParts(parts, feature_map).stack().astype(bottom.dtype)
+        )
+    return _fused_pallas_parts(
+        bottom, tuple(parts), feature_map=tuple(map(tuple, feature_map)),
+        interpret=interpret,
+    )
+
+
+def _fwd_parts(bottom, parts, feature_map, interpret):
+    return (
+        fused_dot_interaction_parts(bottom, parts, feature_map, interpret),
+        (bottom, parts),
+    )
+
+
+def _bwd_parts(feature_map, interpret, res, g):
+    bottom, parts = res
+    batch, dim = bottom.shape
+    feats = len(feature_map) + 1
+    rows, cols = np.triu_indices(feats, k=1)
+    g_pairs = g[:, dim:].astype(jnp.float32)
+    dzzt = jnp.zeros((batch, feats, feats), jnp.float32)
+    dzzt = dzzt.at[:, rows, cols].set(g_pairs)
+    dzzt = dzzt + jnp.swapaxes(dzzt, 1, 2)
+    emb = EmbParts(parts, feature_map).stack()
+    z = jnp.concatenate(
+        [bottom[:, None, :], emb], axis=1
+    ).astype(jnp.float32)
+    dz = jnp.einsum("bfg,bgd->bfd", dzzt, z)
+    g_bot = g[:, :dim] + dz[:, 0, :].astype(bottom.dtype)
+    # Route each feature's gradient back to its (part, sub) slot.
+    g_parts = []
+    for i, p in enumerate(parts):
+        subs = {s: t for t, (pi, s) in enumerate(feature_map) if pi == i}
+        g_parts.append(
+            jnp.stack(
+                [dz[:, 1 + subs[s], :] for s in range(p.shape[0])], axis=0
+            ).astype(p.dtype)
+        )
+    return g_bot, g_parts
+
+
+fused_dot_interaction_parts.defvjp(_fwd_parts, _bwd_parts)

@@ -10,6 +10,7 @@ Stages measured (batch 4096, the headline bench shape — bottom MLP
     B  full dense forward, explicit bf16 casts
     C  full dense forward, int8 weight-only kernels (f32 activations)
     D  full dense forward, fp8 weight-only kernels (f32 activations)
+    H  full dense forward, w8a8 (dynamic int8 activations, s8xs8 MXU)
     E  bottom MLP alone (default precision)
     F  interaction einsum + triu gather alone (bf16, as the model runs it)
     G  top MLP alone (default precision)
@@ -124,7 +125,8 @@ def main():
     results["B_full_bf16cast_us"] = full(
         DLRM(bottom_widths=BOTTOM, top_widths=TOP,
              compute_dtype=jnp.bfloat16), params)
-    for tag, fmt in (("C_full_int8_us", "int8"), ("D_full_fp8_us", "fp8")):
+    for tag, fmt in (("C_full_int8_us", "int8"), ("D_full_fp8_us", "fp8"),
+                     ("H_full_w8a8_us", "w8a8")):
         qm = DLRM(bottom_widths=BOTTOM, top_widths=TOP, quant_fmt=fmt)
         qp = quantize_model_params(params, fmt)
         results[tag] = full(qm, qp)
@@ -166,6 +168,8 @@ def main():
             100 * floor_bf16_us / results["A_full_f32_default_us"], 1),
         "int8_pct_of_peak": round(
             100 * floor_int8_us / results["C_full_int8_us"], 1),
+        "w8a8_pct_of_int8_peak": round(
+            100 * floor_int8_us / results["H_full_w8a8_us"], 1),
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "timing": f"slope over {IT_LO}->{IT_HI} scan iters",

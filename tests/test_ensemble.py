@@ -203,7 +203,7 @@ def test_dense_model_quantized_roundtrip(tmp_path, rng):
     weights = _mlp_weights(rng)
     x = rng.normal(size=(5, DIM * KEYS_PER_SAMPLE)).astype(np.float32)
     want = _np_mlp(weights, x)
-    for fmt, tol in (("int8", 0.02), ("fp8", 0.08)):
+    for fmt, tol in (("int8", 0.02), ("fp8", 0.08), ("w8a8", 0.04)):
         save_dense_model(tmp_path / fmt, weights, ["relu", "sigmoid"],
                          reshape=[-1, DIM * KEYS_PER_SAMPLE], quant=fmt)
         dm = DenseModel.load(tmp_path / fmt, "dense_model")

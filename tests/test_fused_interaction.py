@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 from hugectr_backend_tpu.models.dlrm import DLRM, DotInteraction
 from hugectr_backend_tpu.ops.fused_interaction import (
+    EmbParts,
     _xla_reference,
     fused_dot_interaction,
+    fused_dot_interaction_parts,
 )
 
 
@@ -65,6 +67,85 @@ def test_module_auto_is_xla_on_cpu(inputs):
     out_auto = m_auto.apply(m_auto.init(key, bot, emb), bot, emb)
     out_xla = m_xla.apply(m_xla.init(key, bot, emb), bot, emb)
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))
+
+
+def _chunk(emb):
+    """Split [B, T, D] into bench-shaped chunks: a 14-feature block, an
+    11-feature block, and one solo table, interleaved like the production
+    one-hot/arena/solo split."""
+    b, t, d = emb.shape
+    oh_idx = list(range(0, t, 2))  # 13 features
+    solo_idx = [t - 1] if (t - 1) not in oh_idx else [t - 2]
+    ar_idx = [i for i in range(t) if i not in oh_idx and i not in solo_idx]
+    parts = [
+        jnp.stack([emb[:, i] for i in oh_idx]),
+        jnp.stack([emb[:, i] for i in ar_idx]),
+        emb[:, solo_idx[0]][None],
+    ]
+    fmap = [None] * t
+    for j, i in enumerate(oh_idx):
+        fmap[i] = (0, j)
+    for j, i in enumerate(ar_idx):
+        fmap[i] = (1, j)
+    fmap[solo_idx[0]] = (2, 0)
+    return parts, tuple(fmap)
+
+
+def test_parts_forward_parity(inputs):
+    """Parts kernel == stacked kernel == XLA reference; EmbParts.stack
+    reconstructs the original tensor exactly."""
+    bot, emb = inputs
+    parts, fmap = _chunk(emb)
+    ep = EmbParts(parts, fmap)
+    np.testing.assert_array_equal(np.asarray(ep.stack()), np.asarray(emb))
+    assert ep.shape == emb.shape and ep.dtype == emb.dtype
+    got = fused_dot_interaction_parts(bot, parts, fmap, True)
+    want = _xla_reference(bot, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.12)
+    # Odd batch falls back to XLA via stack (exact parity).
+    got9 = fused_dot_interaction_parts(
+        bot[:9], [p[:, :9] for p in parts], fmap, True)
+    np.testing.assert_allclose(np.asarray(got9),
+                               np.asarray(_xla_reference(bot[:9], emb[:9])),
+                               rtol=1e-6)
+
+
+def test_parts_gradient_parity(inputs):
+    bot, emb = inputs
+    parts, fmap = _chunk(emb)
+
+    gp = jax.grad(
+        lambda b, ps: (fused_dot_interaction_parts(b, ps, fmap, True) ** 2)
+        .sum(), argnums=(0, 1))(bot, parts)
+    gx = jax.grad(
+        lambda b, e: (_xla_reference(b, e) ** 2).sum(), argnums=(0, 1))(
+        bot, emb)
+    rel = float(jnp.abs(gp[0] - gx[0]).max() / (jnp.abs(gx[0]).max() + 1e-9))
+    assert rel < 5e-3, rel
+    # Reassemble per-part grads into [B, T, D] order and compare.
+    g_emb = jnp.stack([gp[1][p][s] for (p, s) in fmap], axis=1)
+    rel = float(jnp.abs(g_emb - gx[1]).max() / (jnp.abs(gx[1]).max() + 1e-9))
+    assert rel < 5e-3, rel
+
+
+def test_module_accepts_embparts(inputs):
+    """DotInteraction and full DLRM consume EmbParts on the XLA path."""
+    bot, emb = inputs
+    parts, fmap = _chunk(emb)
+    m = DotInteraction(use_pallas=False)
+    key = jax.random.PRNGKey(0)
+    out_t = m.apply(m.init(key, bot, emb), bot, emb)
+    out_p = m.apply(m.init(key, bot, emb), bot, EmbParts(parts, fmap))
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_p))
+
+    rng = np.random.default_rng(3)
+    dense = jnp.asarray(rng.standard_normal((64, 13)), jnp.float32)
+    model = DLRM(bottom_widths=(64, 128), top_widths=(64, 1))
+    params = model.init(jax.random.PRNGKey(0), dense, emb)
+    y_t = model.apply(params, dense, emb)
+    y_p = model.apply(params, dense, EmbParts(parts, fmap))
+    np.testing.assert_array_equal(np.asarray(y_t), np.asarray(y_p))
 
 
 def test_dlrm_end_to_end_unchanged(inputs):

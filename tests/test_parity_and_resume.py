@@ -94,7 +94,7 @@ def test_quant_dense_close_to_fp32():
 
     # e4m3 has 3 mantissa bits (~6% step) so its tolerance is wider; int8 with
     # per-column scales stays within ~3%.
-    for fmt, tol in (("int8", 0.03), ("fp8", 0.09)):
+    for fmt, tol in (("int8", 0.03), ("fp8", 0.09), ("w8a8", 0.05)):
         qmlp = QuantMLP(widths=(64, 16), fmt=fmt, compute_dtype=jnp.float32)
         qp = {"params": _to_quant_tree(p["params"], fmt)}
         y_q = np.asarray(qmlp.apply(qp, x))
@@ -128,7 +128,7 @@ def test_quant_dlrm_whole_model_parity():
     emb = jnp.asarray(rng.standard_normal((B, T, D)) * 0.1, jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dense, emb)
     ref = np.asarray(model.apply(params, dense, emb))
-    for fmt, tol in (("int8", 0.03), ("fp8", 0.12)):
+    for fmt, tol in (("int8", 0.03), ("fp8", 0.12), ("w8a8", 0.06)):
         qm = DLRM(bottom_widths=(32, D), top_widths=(32, 16, 1),
                   compute_dtype=jnp.float32, quant_fmt=fmt)
         out = np.asarray(qm.apply(quantize_model_params(params, fmt),

@@ -32,9 +32,10 @@ def main(argv=None) -> int:
         help="reshape applied to the incoming flat tensor, e.g. --reshape -1 416",
     )
     ap.add_argument(
-        "--quant", choices=("int8", "fp8"), default=None,
-        help="store weight-only quantized kernels (column-scaled; matmuls "
-        "run bf16 on the MXU with fused dequant)",
+        "--quant", choices=("int8", "fp8", "w8a8"), default=None,
+        help="store column-scaled quantized kernels: int8/fp8 weight-only "
+        "(bf16 MXU matmuls with fused dequant) or w8a8 (activations "
+        "quantized at serve time, int8 MXU passes at 2x the bf16 rate)",
     )
     args = ap.parse_args(argv)
 
