@@ -174,20 +174,23 @@ fused_dot_interaction.defvjp(_fwd, _bwd)
 class EmbParts:
     """Embedding features held as the lookup engine's chunked outputs.
 
-    ``parts[i]`` is [n_i, B, D] (feature-major chunks); ``feature_map[t]``
-    = (part_idx, sub_idx) places each model feature. Behaves enough like the
+    ``parts[i]`` is [n_i, S_i, D] (feature-major chunks, S_i >= B — the
+    lookup engine pads per-table blocks to pow2 buckets); ``feature_map[t]``
+    = (part_idx, sub_idx) places each model feature; ``batch`` is the
+    logical batch (defaults to parts[0]'s stride). Behaves enough like the
     stacked [B, T, D] tensor (shape/astype) for model code; ``stack()``
     materializes it for the XLA fallback path.
     """
 
-    def __init__(self, parts, feature_map):
+    def __init__(self, parts, feature_map, batch: "Optional[int]" = None):
         self.parts = list(parts)
         self.feature_map = tuple(tuple(x) for x in feature_map)
+        self.batch = int(batch) if batch is not None else int(
+            self.parts[0].shape[1])
 
     @property
     def shape(self):
-        _, b, d = self.parts[0].shape
-        return (b, len(self.feature_map), d)
+        return (self.batch, len(self.feature_map), self.parts[0].shape[2])
 
     @property
     def ndim(self):
@@ -198,19 +201,23 @@ class EmbParts:
         return self.parts[0].dtype
 
     def astype(self, dt):
-        return EmbParts([p.astype(dt) for p in self.parts], self.feature_map)
+        return EmbParts(
+            [p.astype(dt) for p in self.parts], self.feature_map, self.batch
+        )
 
     def stack(self):
         return jnp.stack(
-            [self.parts[p][s] for (p, s) in self.feature_map], axis=1
+            [self.parts[p][s][: self.batch] for (p, s) in self.feature_map],
+            axis=1,
         )
 
     def tree_flatten(self):
-        return tuple(self.parts), self.feature_map
+        return tuple(self.parts), (self.feature_map, self.batch)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children, aux)
+        fmap, batch = aux
+        return cls(children, fmap, batch)
 
 
 def _kernel_parts(*refs, dim: int, feats: int, fmap):
@@ -289,7 +296,9 @@ def fused_dot_interaction_parts(bottom, parts, feature_map,
     """
     if _pick_block(bottom.shape[0]) == 0:
         return _xla_reference(
-            bottom, EmbParts(parts, feature_map).stack().astype(bottom.dtype)
+            bottom,
+            EmbParts(parts, feature_map, bottom.shape[0])
+            .stack().astype(bottom.dtype),
         )
     return _fused_pallas_parts(
         bottom, tuple(parts), feature_map=tuple(map(tuple, feature_map)),
@@ -313,21 +322,23 @@ def _bwd_parts(feature_map, interpret, res, g):
     dzzt = jnp.zeros((batch, feats, feats), jnp.float32)
     dzzt = dzzt.at[:, rows, cols].set(g_pairs)
     dzzt = dzzt + jnp.swapaxes(dzzt, 1, 2)
-    emb = EmbParts(parts, feature_map).stack()
+    emb = EmbParts(parts, feature_map, batch).stack()
     z = jnp.concatenate(
         [bottom[:, None, :], emb], axis=1
     ).astype(jnp.float32)
     dz = jnp.einsum("bfg,bgd->bfd", dzzt, z)
     g_bot = g[:, :dim] + dz[:, 0, :].astype(bottom.dtype)
-    # Route each feature's gradient back to its (part, sub) slot.
+    # Route each feature's gradient back to its (part, sub) slot; rows past
+    # the logical batch (pow2 padding in strided parts) get zero grad.
     g_parts = []
     for i, p in enumerate(parts):
         subs = {s: t for t, (pi, s) in enumerate(feature_map) if pi == i}
-        g_parts.append(
-            jnp.stack(
-                [dz[:, 1 + subs[s], :] for s in range(p.shape[0])], axis=0
-            ).astype(p.dtype)
-        )
+        gp = jnp.stack(
+            [dz[:, 1 + subs[s], :] for s in range(p.shape[0])], axis=0
+        ).astype(p.dtype)
+        if p.shape[1] != batch:
+            gp = jnp.zeros_like(p).at[:, :batch].set(gp)
+        g_parts.append(gp)
     return g_bot, g_parts
 
 

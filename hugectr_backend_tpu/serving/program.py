@@ -98,7 +98,8 @@ class FusedMultiTableServer:
     graph fuses with the lookups into one XLA program).
     """
 
-    def __init__(self, params: InferenceParams, cache: EmbeddingCache, assemble_fn):
+    def __init__(self, params: InferenceParams, cache: EmbeddingCache,
+                 assemble_fn, chunked: bool = False):
         self.params = params
         self.cache = cache
         self.keys_per_sample = list(
@@ -128,10 +129,48 @@ class FusedMultiTableServer:
                 slots_cat, scin_cat, slot_bounds, scin_bounds
             )
             gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
-            embs = [
-                gouts[g][start : start + cnt].reshape(batch, k, d)
-                for (g, start, cnt, k, d) in slices
-            ]
+            if chunked and all(
+                k == 1 and d == slices[0][4] for (_, _, _, k, d) in slices
+            ):
+                # One feature per table, uniform dim: hand the dense graph
+                # the GROUP outputs chunked (EmbParts) so the Pallas
+                # interaction assembles z in VMEM — slicing per table would
+                # re-materialize each [B, D] block and erase the kernel's
+                # win (ROOFLINE.md §6.4). Tables sit at contiguous
+                # [start, start+B) row blocks of their group's output.
+                from hugectr_backend_tpu.ops.fused_interaction import (
+                    EmbParts,
+                )
+
+                d = slices[0][4]
+                used = sorted({g for (g, *_rest) in slices})
+                gpos = {g: i for i, g in enumerate(used)}
+                # Per-table blocks inside a group are padded to a pow2
+                # bucket (>= batch); infer each group's stride from its
+                # member count so sub-indices land on block starts.
+                nmemb = {g: sum(1 for (gg, *_r) in slices if gg == g)
+                         for g in used}
+                stride = {g: gouts[g].shape[0] // nmemb[g] for g in used}
+                parts = [gouts[g].reshape(nmemb[g], stride[g], d)
+                         for g in used]
+                fmap = tuple(
+                    (gpos[g], start // stride[g])
+                    for (g, start, _cnt, _k, _d) in slices
+                )
+                embs = EmbParts(parts, fmap, batch)
+            elif chunked:
+                embs = jnp.concatenate(
+                    [
+                        gouts[g][start : start + cnt].reshape(batch, k, d)
+                        for (g, start, cnt, k, d) in slices
+                    ],
+                    axis=1,
+                )
+            else:
+                embs = [
+                    gouts[g][start : start + cnt].reshape(batch, k, d)
+                    for (g, start, cnt, k, d) in slices
+                ]
             if mp:
                 with jax.default_matmul_precision("bfloat16"):
                     return assemble_fn(dense, embs)
@@ -206,3 +245,18 @@ def make_dcn_server(params, cache, model, model_params):
         return model.apply(model_params, dense, emb)
 
     return FusedMultiTableServer(params, cache, assemble)
+
+
+def make_dlrm_multi_server(params, cache, model, model_params):
+    """DLRM over many tables, one categorical feature per table (the Criteo
+    layout — 26 tables x 1 key). The dense graph receives the lookup
+    outputs CHUNKED (EmbParts: one-hot block, arena block, solo tables) so
+    the Pallas interaction assembles z in VMEM instead of paying the
+    [B, T, D] stack materialization (ROOFLINE.md §6.4: fused DLRM
+    922.5 us chunked vs 1072 us stacked at the headline shape). Models
+    with K_t > 1 or mixed dims fall back to the stacked tensor."""
+
+    def assemble(dense, emb):
+        return model.apply(model_params, dense, emb)
+
+    return FusedMultiTableServer(params, cache, assemble, chunked=True)

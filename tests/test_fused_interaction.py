@@ -111,6 +111,32 @@ def test_parts_forward_parity(inputs):
                                rtol=1e-6)
 
 
+def test_parts_strided_blocks(inputs):
+    """Parts whose per-feature stride exceeds the logical batch (the lookup
+    engine pads blocks to pow2 buckets): rows past the batch are ignored in
+    the forward and get zero grad."""
+    bot, emb = inputs
+    b = bot.shape[0]
+    parts, fmap = _chunk(emb)
+    stride = b + 32
+    padded = [
+        jnp.pad(p, ((0, 0), (0, stride - b), (0, 0)), constant_values=7.7)
+        for p in parts
+    ]
+    ep = EmbParts(padded, fmap, batch=b)
+    assert ep.shape == emb.shape
+    np.testing.assert_array_equal(np.asarray(ep.stack()), np.asarray(emb))
+    got = fused_dot_interaction_parts(bot, padded, fmap, True)
+    want = _xla_reference(bot, emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.12)
+    gp = jax.grad(
+        lambda ps: (fused_dot_interaction_parts(bot, ps, fmap, True) ** 2)
+        .sum())(padded)
+    for g in gp:
+        assert np.abs(np.asarray(g[:, b:])).max() == 0.0
+
+
 def test_parts_gradient_parity(inputs):
     bot, emb = inputs
     parts, fmap = _chunk(emb)

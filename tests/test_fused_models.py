@@ -105,3 +105,85 @@ def test_fused_dcn(tmp_path):
     logits2 = np.asarray(srv.predict(keys, np.zeros((b, nd), np.float32)))
     logits3 = np.asarray(srv.predict(keys, np.zeros((b, nd), np.float32)))
     np.testing.assert_allclose(logits2, logits3, rtol=1e-5)
+
+
+def test_fused_multi_table_dlrm_chunked(tmp_path_factory):
+    """make_dlrm_multi_server: Criteo-style layout (T tables x 1 key, uniform
+    dim) hands the dense graph EmbParts — output must equal the plain DLRM
+    forward over the stacked ground-truth embeddings (reference serves this
+    through the HPS->dense ensemble, samples/hps-triton-ensemble)."""
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.serving.program import make_dlrm_multi_server
+
+    root = tmp_path_factory.mktemp("dlrm_multi")
+    dim, ntab = 8, 5
+    tbls = [make_synthetic_table(300 + 100 * t, dim, seed=70 + t)
+            for t in range(ntab)]
+    for t, tbl in enumerate(tbls):
+        write_sparse_model(root / f"t{t}", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dlrm",
+                    "sparse_files": [str(root / f"t{t}") for t in range(ntab)],
+                    "embedding_vecsize_per_table": [dim] * ntab,
+                    "maxnum_catfeature_query_per_table_per_sample": [1] * ntab,
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    b, nd = 6, 4
+    model = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    rng = np.random.default_rng(4)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, ntab, dim)))
+    srv = make_dlrm_multi_server(
+        ps.get_model_params("dlrm"), ps.get_embedding_cache("dlrm", 0),
+        model, mp)
+    keys = [tbls[t].keys[rng.integers(0, 200, (b, 1))] for t in range(ntab)]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    got = np.asarray(srv.predict(keys, dense))
+
+    emb_true = np.stack(
+        [expected_vector(keys[t].reshape(-1), dim) for t in range(ntab)],
+        axis=1)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense),
+                                  jnp.asarray(emb_true)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # Mixed keys-per-table falls back to the stacked tensor path.
+    ps2 = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dlrm2",
+                    "sparse_files": [str(root / "t0"), str(root / "t1")],
+                    "embedding_vecsize_per_table": [dim, dim],
+                    "maxnum_catfeature_query_per_table_per_sample": [1, 2],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    model2 = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    mp2 = model2.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                      jnp.zeros((b, 3, dim)))
+    srv2 = make_dlrm_multi_server(
+        ps2.get_model_params("dlrm2"), ps2.get_embedding_cache("dlrm2", 0),
+        model2, mp2)
+    keys2 = [tbls[0].keys[rng.integers(0, 200, (b, 1))],
+             tbls[1].keys[rng.integers(0, 200, (b, 2))]]
+    got2 = np.asarray(srv2.predict(keys2, dense))
+    emb2 = np.concatenate(
+        [expected_vector(keys2[0].reshape(-1), dim).reshape(b, 1, dim),
+         expected_vector(keys2[1].reshape(-1), dim).reshape(b, 2, dim)],
+        axis=1)
+    want2 = np.asarray(model2.apply(mp2, jnp.asarray(dense),
+                                    jnp.asarray(emb2)))
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
