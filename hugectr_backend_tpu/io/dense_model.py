@@ -124,17 +124,17 @@ class DenseModel:
         quant = self.spec.get("quant")
         for i, ((w, b), layer) in enumerate(zip(self.weights, self.spec["layers"])):
             if quant == "w8a8":
-                # Dynamic per-row activation int8 + s8xs8->s32 MXU pass
-                # (2x the bf16 rate on v5e); rank-1 rescale dequantizes.
-                from hugectr_backend_tpu.models.quant_dense import (
-                    quantize_activations,
-                )
+                # Dynamic per-row activation int8 + s8xs8->s32 MXU pass (2x
+                # the bf16 rate on v5e); on TPU one Pallas pass with the
+                # layer activation fused into the epilogue
+                # (ops/quant_matmul.py).
+                from hugectr_backend_tpu.ops.quant_matmul import w8a8_dense
 
-                xq, xs = quantize_activations(x.astype(jnp.float32))
-                acc = jax.lax.dot_general(
-                    xq, w, dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                x = acc.astype(jnp.float32) * xs * self.scales[i][None, :] + b
+                act = str(layer.get("activation", "identity")).lower()
+                act = None if act in ("identity", "linear", "none") else act
+                x = w8a8_dense(x.astype(jnp.float32), w, self.scales[i], b,
+                               act)
+                continue
             elif quant:
                 # Weight-only dequant fuses into the bf16 MXU matmul; the
                 # f32 accumulate keeps additions exact.

@@ -45,16 +45,25 @@ class MLP(nn.Module):
     def __call__(self, x):
         x = x.astype(self.compute_dtype)
         for i, w in enumerate(self.widths):
+            act = (
+                "relu"
+                if i + 1 < len(self.widths) or self.final_activation
+                else None
+            )
             if self.quant_fmt:
                 from hugectr_backend_tpu.models.quant_dense import QuantDense
 
-                x = QuantDense(w, self.quant_fmt, self.compute_dtype)(x)
+                # The activation fuses into the quant layer (for w8a8 it
+                # runs in the Pallas kernel epilogue, saving an [M, N]
+                # HBM pass per layer).
+                x = QuantDense(w, self.quant_fmt, self.compute_dtype,
+                               activation=act)(x)
             else:
                 x = nn.Dense(
                     w, dtype=self.compute_dtype, param_dtype=jnp.float32
                 )(x)
-            if i + 1 < len(self.widths) or self.final_activation:
-                x = nn.relu(x)
+                if act:
+                    x = nn.relu(x)
         return x
 
 

@@ -28,7 +28,7 @@ place, so existing checkpoints deploy quantized without retraining.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -78,6 +78,10 @@ class QuantDense(nn.Module):
     fmt: str = "int8"  # "int8" | "fp8" | "w8a8"
     compute_dtype: jnp.dtype = jnp.float32
     use_bias: bool = True
+    #: optional activation fused into the layer ("relu" | "sigmoid" |
+    #: "tanh" | "gelu"); for w8a8 it runs in the Pallas kernel's epilogue
+    #: instead of a separate [M, N] HBM pass.
+    activation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -109,14 +113,20 @@ class QuantDense(nn.Module):
         if self.fmt == "w8a8":
             # Quantize activations on the fly (per-row absmax) and run a
             # true s8 x s8 -> s32 contraction: the v5e MXU executes int8
-            # passes at 2x the bf16 rate. The dequant is one rank-1 rescale.
-            xq, xs = quantize_activations(x.astype(jnp.float32))
-            acc = jax.lax.dot_general(
-                xq, kernel_q,
-                dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+            # passes at 2x the bf16 rate. On TPU this is one Pallas pass
+            # (ops/quant_matmul.py: x read once, quant + dot + rescale +
+            # bias + activation fused); elsewhere the XLA formulation.
+            from hugectr_backend_tpu.ops.quant_matmul import w8a8_dense
+
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None
             )
-            y = acc.astype(jnp.float32) * xs * kernel_scale[None, :]
+            y = w8a8_dense(
+                x.astype(jnp.float32).reshape(-1, in_features), kernel_q,
+                kernel_scale, bias, self.activation,
+            ).reshape(*x.shape[:-1], self.features)
+            return y.astype(self.compute_dtype)
         else:
             # Dequant fuses into the matmul operand; bf16 MXU passes.
             w = kernel_q.astype(self.compute_dtype) * kernel_scale.astype(
@@ -129,6 +139,10 @@ class QuantDense(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
+        if self.activation:
+            from hugectr_backend_tpu.ops.quant_matmul import _ACTS
+
+            y = _ACTS[self.activation](y)
         return y.astype(self.compute_dtype)
 
 
@@ -144,9 +158,13 @@ class QuantMLP(nn.Module):
     def __call__(self, x):
         x = x.astype(self.compute_dtype)
         for i, w in enumerate(self.widths):
-            x = QuantDense(w, self.fmt, self.compute_dtype)(x)
-            if i + 1 < len(self.widths) or self.final_activation:
-                x = nn.relu(x)
+            act = (
+                "relu"
+                if i + 1 < len(self.widths) or self.final_activation
+                else None
+            )
+            x = QuantDense(w, self.fmt, self.compute_dtype,
+                           activation=act)(x)
         return x
 
 

@@ -129,34 +129,31 @@ class FusedMultiTableServer:
                 slots_cat, scin_cat, slot_bounds, scin_bounds
             )
             gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
-            if chunked and all(
-                k == 1 and d == slices[0][4] for (_, _, _, k, d) in slices
-            ):
+            chunk_plan = (
+                self._chunk_plan(slices, {g: int(gouts[g].shape[0])
+                                          for g in {s[0] for s in slices}})
+                if chunked and all(
+                    k == 1 and d == slices[0][4] for (_, _, _, k, d) in slices
+                )
+                else None
+            )
+            if chunk_plan is not None:
                 # One feature per table, uniform dim: hand the dense graph
                 # the GROUP outputs chunked (EmbParts) so the Pallas
                 # interaction assembles z in VMEM — slicing per table would
                 # re-materialize each [B, D] block and erase the kernel's
-                # win (ROOFLINE.md §6.4). Tables sit at contiguous
-                # [start, start+B) row blocks of their group's output.
+                # win (ROOFLINE.md §6.4). Tables sit at [start, start+B)
+                # row blocks of their group's output; blocks are padded to
+                # pow2 buckets and groups may carry tail padding, so the
+                # block stride comes from the slice starts (chunk_plan).
                 from hugectr_backend_tpu.ops.fused_interaction import (
                     EmbParts,
                 )
 
                 d = slices[0][4]
-                used = sorted({g for (g, *_rest) in slices})
-                gpos = {g: i for i, g in enumerate(used)}
-                # Per-table blocks inside a group are padded to a pow2
-                # bucket (>= batch); infer each group's stride from its
-                # member count so sub-indices land on block starts.
-                nmemb = {g: sum(1 for (gg, *_r) in slices if gg == g)
-                         for g in used}
-                stride = {g: gouts[g].shape[0] // nmemb[g] for g in used}
-                parts = [gouts[g].reshape(nmemb[g], stride[g], d)
-                         for g in used]
-                fmap = tuple(
-                    (gpos[g], start // stride[g])
-                    for (g, start, _cnt, _k, _d) in slices
-                )
+                group_shape, fmap = chunk_plan
+                parts = [gouts[g].reshape(nblk, stride, d)
+                         for (g, nblk, stride) in group_shape]
                 embs = EmbParts(parts, fmap, batch)
             elif chunked:
                 embs = jnp.concatenate(
@@ -177,6 +174,43 @@ class FusedMultiTableServer:
             return assemble_fn(dense, embs)
 
         self._fwd = fwd
+
+    @staticmethod
+    def _chunk_plan(slices, group_rows):
+        """-> ([(g, nblocks, stride)], fmap) mapping each table to a block
+        of its group's output, or None when the layout is not uniformly
+        blocked (then the caller falls back to the stacked tensor).
+
+        ``stride`` is the uniform spacing of the slice starts within a
+        group (block starts are pow2-padded counts, the group tail may be
+        padded further); every start must sit on a stride boundary and the
+        group's total rows must divide into whole blocks.
+        """
+        used = sorted({g for (g, *_r) in slices})
+        gpos = {g: i for i, g in enumerate(used)}
+        strides = {}
+        for g in used:
+            starts = sorted(s[1] for s in slices if s[0] == g)
+            if len(starts) == 1:
+                stride = group_rows[g]
+            else:
+                diffs = {b - a for a, b in zip(starts, starts[1:])}
+                if len(diffs) != 1:
+                    return None
+                stride = diffs.pop()
+            if stride <= 0 or group_rows[g] % stride:
+                return None
+            if any(s % stride for s in starts):
+                return None
+            strides[g] = stride
+        group_shape = tuple(
+            (g, group_rows[g] // strides[g], strides[g]) for g in used
+        )
+        fmap = tuple(
+            (gpos[g], start // strides[g])
+            for (g, start, _cnt, _k, _d) in slices
+        )
+        return group_shape, fmap
 
     def predict(self, keys_per_table, dense) -> jax.Array:
         """keys_per_table[t]: [B, K_t] (or flat B*K_t); dense [B, Nd].
