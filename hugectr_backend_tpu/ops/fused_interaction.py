@@ -52,6 +52,16 @@ def _pick_block(batch: int) -> int:
     return 0
 
 
+def _eligible(batch: int, dim: int) -> bool:
+    """Kernel eligibility: blockable batch AND lane-aligned embedding dim.
+    Sub-128 dims produce non-lane-aligned slice stores that Mosaic compiles
+    pathologically slowly (observed: a D=32/F=7 instance ground the shared
+    remote-compile queue for >40 min on the dev tunnel) — and at those
+    shapes the HBM traffic the kernel saves is negligible anyway, so the
+    XLA lowering is the right path."""
+    return _pick_block(batch) > 0 and dim % 128 == 0
+
+
 def _kernel(bot_ref, emb_ref, out_ref, *, dim: int, feats: int):
     bot = bot_ref[...]  # [bb, D]
     emb = emb_ref[...]  # [bb, T, D]
@@ -122,9 +132,12 @@ def fused_dot_interaction(bottom, emb, interpret: bool = False):
     """``concat([bottom, triu(z z^T, k=1)])`` for ``z = [bottom; emb]``.
 
     bottom [B, D] f32, emb [B, T, D] -> [B, D + (T+1)T/2]. Falls back to the
-    XLA formulation when the batch cannot be blocked (not a multiple of 8).
-    Pass ``interpret=True`` to run the kernel interpreted (CPU tests).
+    XLA formulation when the batch cannot be blocked (not a multiple of 8)
+    or the dim is not lane-aligned (see _eligible). Pass ``interpret=True``
+    to run the kernel interpreted (CPU tests).
     """
+    if not interpret and not _eligible(*bottom.shape):
+        return _xla_reference(bottom, emb)
     if _pick_block(bottom.shape[0]) == 0:
         return _xla_reference(bottom, emb)
     return _fused_pallas(bottom, emb, interpret=interpret)
@@ -294,7 +307,8 @@ def fused_dot_interaction_parts(bottom, parts, feature_map,
     (part_idx, sub_idx). Assembles z in VMEM — the stacked [B, T, D]
     never materializes in HBM.
     """
-    if _pick_block(bottom.shape[0]) == 0:
+    if (not interpret and not _eligible(*bottom.shape)) or _pick_block(
+            bottom.shape[0]) == 0:
         return _xla_reference(
             bottom,
             EmbParts(parts, feature_map, bottom.shape[0])

@@ -129,14 +129,22 @@ def w8a8_dense(x, wq, wscale, bias=None, act=None, interpret=False):
     """
     m, k = x.shape
     n = wq.shape[1]
-    eligible = (
-        _pick_bm(m) > 0
-        and n >= 128
-        and k * n + 4 * (n + _pick_bm(m) * (k + n)) < 12 * 2**20
-        and act in _ACTS
-        and (interpret or jax.default_backend() == "tpu")
-        and os.environ.get("HPS_PALLAS_W8A8", "1") != "0"
-    )
+    eligible = _pick_bm(m) > 0 and act in _ACTS
+    if not interpret:
+        eligible = (
+            eligible
+            # Lane-aligned N and K: Mosaic compiles non-128-aligned
+            # slice/store shapes pathologically slowly on some toolchains
+            # (observed with the interaction kernel's sub-128 dims —
+            # fused_interaction.py _eligible); unaligned layers take the
+            # XLA formulation. Interpret mode never touches Mosaic, so the
+            # gates do not apply there.
+            and n % 128 == 0
+            and k % 128 == 0
+            and k * n + 4 * (n + _pick_bm(m) * (k + n)) < 12 * 2**20
+            and jax.default_backend() == "tpu"
+            and os.environ.get("HPS_PALLAS_W8A8", "1") != "0"
+        )
     if not eligible:
         return xla_w8a8(x, wq, wscale, bias, act)
     return _w8a8_pallas(
