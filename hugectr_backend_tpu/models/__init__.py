@@ -2,5 +2,6 @@ from hugectr_backend_tpu.models.dlrm import DLRM
 from hugectr_backend_tpu.models.wdl import WideAndDeep
 from hugectr_backend_tpu.models.dcn import DCNv2
 from hugectr_backend_tpu.models.din import DIN
+from hugectr_backend_tpu.models.deepfm import DeepFM
 
-__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN"]
+__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM"]

@@ -281,6 +281,17 @@ def make_dcn_server(params, cache, model, model_params):
     return FusedMultiTableServer(params, cache, assemble)
 
 
+def make_deepfm_server(params, cache, model, model_params):
+    """DeepFM: table 0 = first-order weights (vecsize 1), table 1 =
+    second-order/deep embeddings (shared weights — the defining DeepFM
+    structure; models/deepfm.py)."""
+
+    def assemble(dense, embs):
+        return model.apply(model_params, dense, embs[0], embs[1])
+
+    return FusedMultiTableServer(params, cache, assemble)
+
+
 def make_dlrm_multi_server(params, cache, model, model_params):
     """DLRM over many tables, one categorical feature per table (the Criteo
     layout — 26 tables x 1 key). The dense graph receives the lookup

@@ -187,3 +187,59 @@ def test_fused_multi_table_dlrm_chunked(tmp_path_factory):
     want2 = np.asarray(model2.apply(mp2, jnp.asarray(dense),
                                     jnp.asarray(emb2)))
     np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_deepfm_serving(tmp_path_factory):
+    """DeepFM (FM second-order + deep MLP, shared embeddings): fused
+    serving output equals the model applied to ground-truth embeddings,
+    and the FM term matches its O(T^2) pairwise definition."""
+    from hugectr_backend_tpu.models.deepfm import DeepFM
+    from hugectr_backend_tpu.serving.program import make_deepfm_server
+
+    root = tmp_path_factory.mktemp("deepfm")
+    first = make_synthetic_table(500, 1, seed=81)
+    second = make_synthetic_table(500, 8, seed=82)
+    write_sparse_model(root / "first", first.keys, first.vectors)
+    write_sparse_model(root / "second", second.keys, second.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "deepfm",
+                    "sparse_files": [str(root / "first"), str(root / "second")],
+                    "embedding_vecsize_per_table": [1, 8],
+                    "maxnum_catfeature_query_per_table_per_sample": [5, 5],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    b, nd, t, d = 6, 4, 5, 8
+    model = DeepFM(deep_widths=(32, 1))
+    rng = np.random.default_rng(8)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, t, 1)), jnp.zeros((b, t, d)))
+    srv = make_deepfm_server(
+        ps.get_model_params("deepfm"), ps.get_embedding_cache("deepfm", 0),
+        model, mp)
+    kidx = rng.integers(0, 400, (b, t))
+    keys = [first.keys[kidx], second.keys[kidx]]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    got = np.asarray(srv.predict(keys, dense))
+
+    e1 = expected_vector(keys[0].reshape(-1), 1).reshape(b, t, 1)
+    e2 = expected_vector(keys[1].reshape(-1), 8).reshape(b, t, d)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense), jnp.asarray(e1),
+                                  jnp.asarray(e2)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # FM term == explicit pairwise-dot sum.
+    s = e2.sum(axis=1)
+    fm_fast = 0.5 * ((s * s).sum(-1) - (e2 * e2).sum(1).sum(-1))
+    fm_pair = np.zeros(b)
+    for i in range(t):
+        for j in range(i + 1, t):
+            fm_pair += (e2[:, i] * e2[:, j]).sum(-1)
+    np.testing.assert_allclose(fm_fast, fm_pair, rtol=1e-4, atol=1e-5)

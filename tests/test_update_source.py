@@ -336,16 +336,18 @@ def test_kafka_neither_dialect_broker_fails_actionably():
         broker.stop()
 
 
-def test_kafka_message_queue_serves_updates_end_to_end(tmp_path):
+@pytest.mark.parametrize("dialect", ["v0", "v2"])
+def test_kafka_message_queue_serves_updates_end_to_end(tmp_path, dialect):
     """ps.json with update_source type=kafka_message_queue: streamed updates
     land in the DRAM/SSD tiers and reach lookups after a cache refresh
     (reference README.md:213-218 pipeline, served by the wire-protocol
-    transport instead of raising)."""
+    transport instead of raising) — against both broker generations
+    (v0 MessageSet 0.8-3.x and v2 RecordBatch >=4.0/KIP-896)."""
     from hugectr_backend_tpu import HierParameterServer, LookupSession
     from hugectr_backend_tpu.update.kafka_lite import KafkaQueueSource
     from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
 
-    broker = MiniKafkaBroker().start()
+    broker = MiniKafkaBroker(dialect=dialect).start()
     try:
         tbl = make_synthetic_table(500, 8, seed=77)
         write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
