@@ -3,5 +3,7 @@ from hugectr_backend_tpu.models.wdl import WideAndDeep
 from hugectr_backend_tpu.models.dcn import DCNv2
 from hugectr_backend_tpu.models.din import DIN
 from hugectr_backend_tpu.models.deepfm import DeepFM
+from hugectr_backend_tpu.models.xdeepfm import XDeepFM
+from hugectr_backend_tpu.models.ncf import NCF
 
-__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM"]
+__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM", "XDeepFM", "NCF"]

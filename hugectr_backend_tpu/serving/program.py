@@ -292,6 +292,27 @@ def make_deepfm_server(params, cache, model, model_params):
     return FusedMultiTableServer(params, cache, assemble)
 
 
+def make_xdeepfm_server(params, cache, model, model_params):
+    """xDeepFM: all tables stacked on the feature axis (equal dims) — the
+    CIN + deep MLP share one embedding set (models/xdeepfm.py)."""
+
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)  # [B, sum K_t, D]
+        return model.apply(model_params, dense, emb)
+
+    return FusedMultiTableServer(params, cache, assemble)
+
+
+def make_ncf_server(params, cache, model, model_params):
+    """NCF/NeuMF: table 0 = users, table 1 = items, one key each
+    (models/ncf.py)."""
+
+    def assemble(dense, embs):
+        return model.apply(model_params, dense, embs[0], embs[1])
+
+    return FusedMultiTableServer(params, cache, assemble)
+
+
 def make_dlrm_multi_server(params, cache, model, model_params):
     """DLRM over many tables, one categorical feature per table (the Criteo
     layout — 26 tables x 1 key). The dense graph receives the lookup

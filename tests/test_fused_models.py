@@ -243,3 +243,107 @@ def test_fused_deepfm_serving(tmp_path_factory):
         for j in range(i + 1, t):
             fm_pair += (e2[:, i] * e2[:, j]).sum(-1)
     np.testing.assert_allclose(fm_fast, fm_pair, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_xdeepfm_serving(tmp_path_factory):
+    """xDeepFM (CIN + deep MLP over shared embeddings): fused serving output
+    equals the model applied to ground-truth embeddings, and the CIN layer
+    matches its explicit O(H*T) pairwise definition."""
+    from hugectr_backend_tpu.models.xdeepfm import CINLayer, XDeepFM
+    from hugectr_backend_tpu.serving.program import make_xdeepfm_server
+
+    root = tmp_path_factory.mktemp("xdeepfm")
+    tbls = [make_synthetic_table(300 + 50 * t, 8, seed=90 + t) for t in range(2)]
+    for t, tbl in enumerate(tbls):
+        write_sparse_model(root / f"t{t}", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "xdeepfm",
+                    "sparse_files": [str(root / f"t{t}") for t in range(2)],
+                    "embedding_vecsize_per_table": [8, 8],
+                    "maxnum_catfeature_query_per_table_per_sample": [2, 3],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    b, nd, d = 6, 4, 8
+    model = XDeepFM(cin_feature_maps=(8, 4), deep_widths=(16, 1))
+    rng = np.random.default_rng(9)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, 5, d)))
+    srv = make_xdeepfm_server(
+        ps.get_model_params("xdeepfm"), ps.get_embedding_cache("xdeepfm", 0),
+        model, mp)
+    keys = [tbls[0].keys[rng.integers(0, 250, (b, 2))],
+            tbls[1].keys[rng.integers(0, 300, (b, 3))]]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    got = np.asarray(srv.predict(keys, dense))
+
+    emb = np.concatenate(
+        [expected_vector(keys[0].reshape(-1), d).reshape(b, 2, d),
+         expected_vector(keys[1].reshape(-1), d).reshape(b, 3, d)], axis=1)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense), jnp.asarray(emb)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # CIN layer == explicit pairwise definition.
+    layer = CINLayer(feature_maps=3)
+    x0 = jnp.asarray(rng.standard_normal((b, 4, d)).astype(np.float32))
+    lp = layer.init(jax.random.PRNGKey(1), x0, x0)
+    out = np.asarray(layer.apply(lp, x0, x0))
+    w = np.asarray(lp["params"]["w"]).reshape(3, 4, 4)  # [G, H, T]
+    x0n = np.asarray(x0)
+    want_cin = np.einsum("ght,bhd,btd->bgd", w, x0n, x0n)
+    np.testing.assert_allclose(out, want_cin, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ncf_serving(tmp_path_factory):
+    """NCF/NeuMF (GMF + MLP towers over user/item tables): fused serving
+    output equals the model applied to ground-truth embeddings, including
+    with a zero-width dense input."""
+    from hugectr_backend_tpu.models.ncf import NCF
+    from hugectr_backend_tpu.serving.program import make_ncf_server
+
+    root = tmp_path_factory.mktemp("ncf")
+    users = make_synthetic_table(600, 16, seed=95)
+    items = make_synthetic_table(800, 16, seed=96)
+    write_sparse_model(root / "users", users.keys, users.vectors)
+    write_sparse_model(root / "items", items.keys, items.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "ncf",
+                    "sparse_files": [str(root / "users"), str(root / "items")],
+                    "embedding_vecsize_per_table": [16, 16],
+                    "maxnum_catfeature_query_per_table_per_sample": [1, 1],
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    b, d = 7, 16
+    model = NCF(mlp_widths=(32, 16))
+    rng = np.random.default_rng(11)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, 0)),
+                    jnp.zeros((b, 1, d)), jnp.zeros((b, 1, d)))
+    srv = make_ncf_server(
+        ps.get_model_params("ncf"), ps.get_embedding_cache("ncf", 0),
+        model, mp)
+    ukeys = users.keys[rng.integers(0, 600, (b, 1))]
+    ikeys = items.keys[rng.integers(0, 800, (b, 1))]
+    dense = np.zeros((b, 0), np.float32)
+    got = np.asarray(srv.predict([ukeys, ikeys], dense))
+
+    ue = expected_vector(ukeys.reshape(-1), d).reshape(b, 1, d)
+    ie = expected_vector(ikeys.reshape(-1), d).reshape(b, 1, d)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense), jnp.asarray(ue),
+                                  jnp.asarray(ie)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert got.shape == (b,) and np.isfinite(got).all()
