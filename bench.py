@@ -285,6 +285,12 @@ def e2e_serving_stage():
                 smetrics.BATCH_SW_SECONDS.count(model="dlrm"),
             "e2e_note": f"{n_t}-table lookup via HTTP binary tensors; tunnel adds ~26ms "
                         "RTT per device execution on this dev setup",
+            "e2e_qps_disclaimer": "qps fields are tunnel-RTT-bound and vary "
+                                  "~2x between sessions (r2: 60.1, r3: 26.4 "
+                                  "on identical code); the sw_overhead/"
+                                  "dispatch decomposition and the frontend "
+                                  "saturation stage are the defensible "
+                                  "numbers",
         }
     finally:
         server.stop()

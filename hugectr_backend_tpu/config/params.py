@@ -375,6 +375,7 @@ class UpdateSourceParams:
     max_batch_size: int = 8 * 1024
     failure_backoff_ms: int = 50
     max_commit_interval: int = 32
+    compression_type: str = "none"  # producer-side codec (gzip/snappy/lz4/zstd)
 
     @classmethod
     def from_json(cls, obj: Mapping[str, Any]) -> "UpdateSourceParams":
@@ -398,6 +399,9 @@ class UpdateSourceParams:
         )
         d.max_commit_interval = _get(
             obj, "max_commit_interval", d.max_commit_interval, False, _as_int
+        )
+        d.compression_type = _get(
+            obj, "compression_type", d.compression_type, False, _as_str
         )
         return d
 

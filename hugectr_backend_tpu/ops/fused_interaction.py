@@ -345,10 +345,14 @@ def _bwd_parts(feature_map, interpret, res, g):
     # Route each feature's gradient back to its (part, sub) slot; rows past
     # the logical batch (pow2 padding in strided parts) get zero grad.
     g_parts = []
+    zero_row = jnp.zeros((batch, dim), jnp.float32)
     for i, p in enumerate(parts):
         subs = {s: t for t, (pi, s) in enumerate(feature_map) if pi == i}
+        # Rows of a part that no feature references (e.g. a looked-up table
+        # excluded from the interaction) receive zero gradient.
         gp = jnp.stack(
-            [dz[:, 1 + subs[s], :] for s in range(p.shape[0])], axis=0
+            [dz[:, 1 + subs[s], :] if s in subs else zero_row
+             for s in range(p.shape[0])], axis=0
         ).astype(p.dtype)
         if p.shape[1] != batch:
             gp = jnp.zeros_like(p).at[:, :batch].set(gp)

@@ -177,92 +177,116 @@ class ContinuousBatcher:
         ]
 
     def _execute(self, batch: list[InferRequest]):
+        """Execute a merged batch; on failure, isolate the fault.
+
+        The reference's ``GUARDED_RESPOND_IF_ERROR`` fails exactly the
+        request that errored (triton_common.hpp:62-76). A merged batch
+        loses that granularity, so on an execute exception we fall back to
+        retrying each co-batched request INDIVIDUALLY — one poisoned
+        request then fails alone instead of taking up to ``max_batch_size``
+        innocent peers with it.
+        """
+        try:
+            self._execute_merged(batch)
+        except Exception as e:
+            model = self.params.model_name
+            if len(batch) == 1:
+                metrics.REQUEST_FAIL.inc(1, model=model)
+                r = batch[0]
+                if not r.future.done():
+                    r.future.set_exception(e)
+                return
+            for r in batch:
+                if r.future.done():
+                    continue
+                try:
+                    self._execute_merged([r])
+                except Exception as ee:
+                    metrics.REQUEST_FAIL.inc(1, model=model)
+                    if not r.future.done():
+                        r.future.set_exception(ee)
+
+    def _execute_merged(self, batch: list[InferRequest]):
         from hugectr_backend_tpu.utils.tracing import annotate
 
         t0 = time.perf_counter()
         model = self.params.model_name
         for r in batch:
             metrics.QUEUE_LATENCY.observe(t0 - r.enqueue_time, model=model)
-        try:
-            n_tables = self.params.num_tables
-            # Merge: concatenate per-table key runs across requests
-            # (the reference's per-request ProcessRequest, batched —
-            # hps.cc:586-672; NVTX-equivalent annotation for profiling).
-            with annotate(f"ProcessBatch/{model}"):
-                split_keys = [
-                    self.session.split_request(r.keys, r.num_keys) for r in batch
-                ]
-                merged = [
-                    np.concatenate([sk[t] for sk in split_keys])
-                    for t in range(n_tables)
-                ]
-                # Pad each table's merged run to its power-of-two bucket
-                # at the SLOT level (default-row pads — never a miss, no
-                # residency dependence). This pins the compiled-signature
-                # set to the pow2 grid — merged batches of any mix hit a
-                # warm executable.
-                pad_counts = self._bucket_counts(merged)
-                t_merge = time.perf_counter()
-                # Flat single-program lookup: one dispatch + ONE
-                # device->host transfer for the whole merged batch (a
-                # per-table fetch costs a full round-trip each on
-                # remote-attached device setups).
-                flat = np.asarray(
-                    self.session.lookup_flat(merged, pad_counts=pad_counts)
-                )
-                t_flat = time.perf_counter()
-            # Split back per request: flat is table-major (padded counts);
-            # within a table, requests appear in merge order.
-            dims = [self.session.cache.tables[t].dim for t in range(n_tables)]
-            # Table runs in the flat output are PADDED to pad_counts rows.
-            tstarts = np.concatenate(
-                [[0], np.cumsum([c * d for c, d in zip(pad_counts, dims)])]
-            ).astype(np.int64)
-            offsets = [0] * n_tables
-            for bi, r in enumerate(batch):
-                parts = []
-                for t in range(n_tables):
-                    n = split_keys[bi][t].shape[0]
-                    lo = tstarts[t] + offsets[t] * dims[t]
-                    parts.append(flat[lo : lo + n * dims[t]])
-                    offsets[t] += n
-                r.future.set_result(
-                    InferResponse(
-                        output=np.concatenate(parts) if parts else np.empty(0, np.float32),
-                        num_samples=r.num_samples,
-                        device_id=self.device_id,
-                    )
-                )
-            # Export the per-table EWMA cache hit rate (reference
-            # docs/metrics.md cache metrics; VERDICT r1 weakness 9: tracked
-            # but never exported).
-            cache = self.session.cache
-            for t in range(n_tables):
-                metrics.CACHE_HIT_RATE.set(
-                    cache.hit_meter.rate(t), model=model, table=str(t)
-                )
-            t_resp = time.perf_counter()
-            # Decomposition (e2e split: tunnel/device vs frontend software):
-            # dispatch = translate + device program + transfer (+RTT on
-            # remote-attached setups); sw = merge/pad + response split.
-            metrics.BATCH_DISPATCH_SECONDS.observe(t_flat - t_merge, model=model)
-            metrics.BATCH_SW_SECONDS.observe(
-                (t_merge - t0) + (t_resp - t_flat), model=model
+        n_tables = self.params.num_tables
+        # Merge: concatenate per-table key runs across requests
+        # (the reference's per-request ProcessRequest, batched —
+        # hps.cc:586-672; NVTX-equivalent annotation for profiling).
+        with annotate(f"ProcessBatch/{model}"):
+            split_keys = [
+                self.session.split_request(r.keys, r.num_keys) for r in batch
+            ]
+            merged = [
+                np.concatenate([sk[t] for sk in split_keys])
+                for t in range(n_tables)
+            ]
+            # Pad each table's merged run to its power-of-two bucket
+            # at the SLOT level (default-row pads — never a miss, no
+            # residency dependence). This pins the compiled-signature
+            # set to the pow2 grid — merged batches of any mix hit a
+            # warm executable.
+            pad_counts = self._bucket_counts(merged)
+            t_merge = time.perf_counter()
+            # Flat single-program lookup: one dispatch + ONE
+            # device->host transfer for the whole merged batch (a
+            # per-table fetch costs a full round-trip each on
+            # remote-attached device setups).
+            flat = np.asarray(
+                self.session.lookup_flat(merged, pad_counts=pad_counts)
             )
-            dt = time.perf_counter() - t0
-            metrics.REQUEST_COUNT.inc(len(batch), model=model)
-            metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)
-            metrics.BATCH_SIZE.observe(sum(r.num_samples for r in batch), model=model)
-            for r in batch:
-                metrics.REQUEST_LATENCY.observe(
-                    time.perf_counter() - r.enqueue_time, model=model
+            t_flat = time.perf_counter()
+        # Split back per request: flat is table-major (padded counts);
+        # within a table, requests appear in merge order.
+        dims = [self.session.cache.tables[t].dim for t in range(n_tables)]
+        # Table runs in the flat output are PADDED to pad_counts rows.
+        tstarts = np.concatenate(
+            [[0], np.cumsum([c * d for c, d in zip(pad_counts, dims)])]
+        ).astype(np.int64)
+        offsets = [0] * n_tables
+        for bi, r in enumerate(batch):
+            parts = []
+            for t in range(n_tables):
+                n = split_keys[bi][t].shape[0]
+                lo = tstarts[t] + offsets[t] * dims[t]
+                parts.append(flat[lo : lo + n * dims[t]])
+                offsets[t] += n
+            r.future.set_result(
+                InferResponse(
+                    output=np.concatenate(parts) if parts else np.empty(0, np.float32),
+                    num_samples=r.num_samples,
+                    device_id=self.device_id,
                 )
-            _ = dt
-        except Exception as e:  # pragma: no cover - defensive
-            metrics.REQUEST_FAIL.inc(len(batch), model=model)
-            for r in batch:
-                if not r.future.done():
-                    r.future.set_exception(e)
+            )
+        # Export the per-table EWMA cache hit rate (reference
+        # docs/metrics.md cache metrics; VERDICT r1 weakness 9: tracked
+        # but never exported).
+        cache = self.session.cache
+        for t in range(n_tables):
+            metrics.CACHE_HIT_RATE.set(
+                cache.hit_meter.rate(t), model=model, table=str(t)
+            )
+        t_resp = time.perf_counter()
+        # Decomposition (e2e split: tunnel/device vs frontend software):
+        # dispatch = translate + device program + transfer (+RTT on
+        # remote-attached setups); sw = merge/pad + response split.
+        metrics.BATCH_DISPATCH_SECONDS.observe(t_flat - t_merge, model=model)
+        metrics.BATCH_SW_SECONDS.observe(
+            (t_merge - t0) + (t_resp - t_flat), model=model
+        )
+        dt = time.perf_counter() - t0
+        metrics.REQUEST_COUNT.inc(len(batch), model=model)
+        metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)
+        metrics.BATCH_SIZE.observe(sum(r.num_samples for r in batch), model=model)
+        for r in batch:
+            metrics.REQUEST_LATENCY.observe(
+                time.perf_counter() - r.enqueue_time, model=model
+            )
+        _ = dt
 
     def shutdown(self):
         self._stopped.set()

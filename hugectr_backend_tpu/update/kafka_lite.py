@@ -160,19 +160,36 @@ class _Reader:
         return len(self.buf) - self.pos
 
 
-def encode_message_set(entries: "list[tuple[bytes | None, bytes]]") -> bytes:
-    """MessageSet v0 with placeholder offsets (broker assigns on produce)."""
+def encode_message_set(entries: "list[tuple[bytes | None, bytes]]",
+                       codec: "int | str | None" = 0) -> bytes:
+    """MessageSet v0 with placeholder offsets (broker assigns on produce).
+
+    With ``codec`` set, the whole set is wrapped in one compressed wrapper
+    message (attributes bits 0-2 = codec id, null key, value = compressed
+    inner MessageSet — the pre-RecordBatch compression framing)."""
+    from hugectr_backend_tpu.update import compression
+
+    cid = compression.codec_id(codec)
     out = b""
     for key, value in entries:
         body = struct.pack(">bb", 0, 0) + _enc_bytes(key) + _enc_bytes(value)
         msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
         out += struct.pack(">q", -1) + struct.pack(">i", len(msg)) + msg
-    return out
+    if not cid:
+        return out
+    body = (struct.pack(">bb", 0, cid) + _enc_bytes(None)
+            + _enc_bytes(compression.compress(cid, out)))
+    msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+    return struct.pack(">q", -1) + struct.pack(">i", len(msg)) + msg
 
 
 def decode_message_set(raw: bytes):
     """-> [(offset, key|None, value)] — tolerates a truncated trailing
-    message (Fetch v0 may cut the last one)."""
+    message (Fetch v0 may cut the last one). Compressed wrapper messages
+    (attribute bits 0-2) are unwrapped recursively; inner offsets follow
+    the wrapper-offset convention (consecutive, ending at the wrapper's)."""
+    from hugectr_backend_tpu.update import compression
+
     out = []
     r = _Reader(raw)
     while r.remaining() >= 12:
@@ -183,11 +200,23 @@ def decode_message_set(raw: bytes):
         m = _Reader(r.take(size))
         m.i32()  # crc (trusted: TCP already checksums)
         magic = m.i8()
-        m.i8()  # attributes
+        attrs = m.i8()
         if magic >= 1:
             m.i64()  # v1 timestamp
         key = m.bytes_()
         value = m.bytes_()
+        if attrs & 0x07:
+            inner = decode_message_set(
+                compression.decompress(attrs & 0x07, value or b""))
+            # Brokers rewrite the WRAPPER offset to the LAST inner record's;
+            # producer-side inner offsets are 0..n-1 — renumber so the run
+            # ends at the wrapper offset (covers magic 0 and 1 producers).
+            n = len(inner)
+            out.extend(
+                (offset - (n - 1) + i, k, v)
+                for i, (_o, k, v) in enumerate(inner)
+            )
+            continue
         out.append((offset, key, value or b""))
     return out
 
@@ -391,11 +420,12 @@ class KafkaClient:
         return brokers, out
 
     def produce(self, topic: str, partition: int,
-                entries: "list[tuple[bytes | None, bytes]]") -> int:
+                entries: "list[tuple[bytes | None, bytes]]",
+                codec: "int | str | None" = 0) -> int:
         v2 = self.negotiate() == "v2"
         if v2:
             ms = encode_record_batch(
-                entries, timestamp_ms=int(time.time() * 1000))
+                entries, timestamp_ms=int(time.time() * 1000), codec=codec)
             body = (
                 _enc_str(None)  # transactional_id
                 + struct.pack(">hi", 1, 10000)  # acks=1, timeout
@@ -405,7 +435,7 @@ class KafkaClient:
             )
             r = self._roundtrip(_API_PRODUCE, 3, body)
         else:
-            ms = encode_message_set(entries)
+            ms = encode_message_set(entries, codec=codec)
             body = (
                 struct.pack(">hi", 1, 10000)  # acks=1, timeout
                 + struct.pack(">i", 1) + _enc_str(topic)
@@ -540,9 +570,11 @@ class KafkaQueueSource(MessageProducer, MessageSource):
     """
 
     def __init__(self, brokers: str, receive_buffer_size: int = 1 << 20,
-                 offsets_path: Optional[str] = None):
+                 offsets_path: Optional[str] = None,
+                 compression: "int | str | None" = 0):
         bootstrap = brokers.split(",")[0].strip()
         self.client = KafkaClient(bootstrap, recv_buffer=receive_buffer_size)
+        self.compression = compression  # producer-side compression.type
         self._compat_checked = False
         self._nparts: dict[str, int] = {}  # topic -> partition count (cached)
         # Offsets are per (topic, partition), persisted as "topic:pid" keys;
@@ -582,13 +614,15 @@ class KafkaQueueSource(MessageProducer, MessageSource):
         key = table_tag.encode()
         part = partition_for_key(key, self._partitions(table_tag))
         try:
-            return self.client.produce(table_tag, part, [(key, value)])
+            return self.client.produce(table_tag, part, [(key, value)],
+                                       codec=self.compression)
         except IOError:
             # Partition count may have changed (or the cached metadata was
             # for an auto-created placeholder): refresh once and retry.
             part = partition_for_key(
                 key, self._partitions(table_tag, refresh=True))
-            return self.client.produce(table_tag, part, [(key, value)])
+            return self.client.produce(table_tag, part, [(key, value)],
+                                       codec=self.compression)
 
     # -- source ------------------------------------------------------------
 

@@ -41,10 +41,15 @@ from hugectr_backend_tpu.update.record_batch import (
 
 class MiniKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 num_partitions: int = 1, dialect: str = "v0"):
+                 num_partitions: int = 1, dialect: str = "v0",
+                 fetch_codec: "str | int | None" = 0):
         assert dialect in ("v0", "v2"), dialect
         self.host = host
         self.dialect = dialect
+        # Compressed-produce mode: fetch responses re-encode records with
+        # this codec, simulating a topic written by a compressing producer
+        # (gzip/snappy/lz4/zstd).
+        self.fetch_codec = fetch_codec
         self.num_partitions = max(int(num_partitions), 1)
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -260,12 +265,21 @@ class MiniKafkaBroker:
                     entries = log[offset : offset + 1000]
                 # Re-encode with REAL offsets.
                 ms = b""
-                for i, (key, value) in enumerate(entries):
-                    one = encode_message_set([(key, value)])
-                    # patch the placeholder -1 offset
-                    ms += struct.pack(">q", offset + i) + one[8:]
-                    if len(ms) >= max_bytes:
-                        break
+                if self.fetch_codec and entries:
+                    # One compressed wrapper holding the whole run; the
+                    # wrapper offset is the LAST inner offset (broker
+                    # convention for magic>=0 down-conversion).
+                    one = encode_message_set(
+                        list(entries), codec=self.fetch_codec)
+                    ms = struct.pack(
+                        ">q", offset + len(entries) - 1) + one[8:]
+                else:
+                    for i, (key, value) in enumerate(entries):
+                        one = encode_message_set([(key, value)])
+                        # patch the placeholder -1 offset
+                        ms += struct.pack(">q", offset + i) + one[8:]
+                        if len(ms) >= max_bytes:
+                            break
                 out += struct.pack(">ihq", pid, 0, hw) + _enc_bytes(ms)
         return out
 
@@ -341,13 +355,19 @@ class MiniKafkaBroker:
                     entries = log[offset : offset + 1000]
                 # One single-record batch per message (real brokers return
                 # whatever batch boundaries the producer sent; per-record
-                # batches exercise the client's multi-batch decode).
+                # batches exercise the client's multi-batch decode). In
+                # fetch_codec mode, one compressed MULTI-record batch.
                 ms = b""
-                for i, (key, value) in enumerate(entries):
-                    ms += encode_record_batch([(key, value)],
-                                              base_offset=offset + i)
-                    if len(ms) >= max_bytes:
-                        break
+                if self.fetch_codec and entries:
+                    ms = encode_record_batch(list(entries),
+                                             base_offset=offset,
+                                             codec=self.fetch_codec)
+                else:
+                    for i, (key, value) in enumerate(entries):
+                        ms += encode_record_batch([(key, value)],
+                                                  base_offset=offset + i)
+                        if len(ms) >= max_bytes:
+                            break
                 out += struct.pack(">ihqq", pid, 0, hw, hw)  # err, hw, lso
                 out += struct.pack(">i", -1)  # aborted_transactions: null
                 out += _enc_bytes(ms)

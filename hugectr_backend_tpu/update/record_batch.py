@@ -4,8 +4,11 @@ Kafka 4.0 removed the v0/v1 message formats and their request versions
 (KIP-896), so interop with modern brokers requires producing and consuming
 magic=2 RecordBatches: a fixed 61-byte batch header (CRC32C over
 attributes..end — NOT zlib's CRC32) followed by varint-framed records with
-zigzag-encoded lengths and deltas. This module implements the uncompressed,
-non-transactional subset the update transport needs; kafka_lite.py picks
+zigzag-encoded lengths and deltas. This module implements the
+non-transactional subset the update transport needs, including all four
+compression codecs (gzip/snappy/lz4/zstd — update/compression.py, with
+pure-Python snappy/lz4 fallbacks when the wheels are absent);
+kafka_lite.py picks
 this framing automatically when ApiVersions says the broker dropped v0
 (update/kafka_lite.py ``KafkaClient.negotiate``).
 
@@ -119,8 +122,13 @@ def encode_record_batch(
     entries: List[Tuple[Optional[bytes], bytes]],
     base_offset: int = 0,
     timestamp_ms: int = 0,
+    codec: "int | str | None" = 0,
 ) -> bytes:
-    """One uncompressed, non-transactional RecordBatch."""
+    """One non-transactional RecordBatch, optionally compressed
+    (``codec`` in none/gzip/snappy/lz4/zstd — attribute bits 0-2)."""
+    from hugectr_backend_tpu.update import compression
+
+    cid = compression.codec_id(codec)
     records = bytearray()
     for i, (key, value) in enumerate(entries):
         body = bytearray(b"\x00")  # record attributes
@@ -136,6 +144,8 @@ def encode_record_batch(
         body += enc_varint(0)  # header count
         records += enc_varint(len(body))
         records += body
+    if cid:
+        records = bytearray(compression.compress(cid, bytes(records)))
     n = len(entries)
     header = _HEADER.pack(
         base_offset,
@@ -143,7 +153,7 @@ def encode_record_batch(
         -1,  # partition leader epoch
         2,  # magic
         0,  # crc placeholder
-        0,  # attributes: no compression, create-time, non-transactional
+        cid,  # attributes bits 0-2: codec; create-time, non-transactional
         max(n - 1, 0),  # last offset delta
         timestamp_ms,
         timestamp_ms,
@@ -198,30 +208,38 @@ def decode_record_batches(
         ) = _HEADER.unpack_from(raw, pos)
         if verify_crc and crc32c(raw[pos + _ATTR_OFFSET : end]) != crc:
             raise ValueError("RecordBatch CRC32C mismatch")
-        if attributes & 0x07:
-            raise ValueError(
-                "compressed RecordBatch not supported (update transport "
-                "produces uncompressed; set compression.type=none)"
-            )
         if attributes & 0x20:  # control batch (txn markers): skip
             pos = end
             continue
-        rpos = pos + _HEADER.size
+        if attributes & 0x07:
+            # Compressed batch: attribute bits 0-2 carry the codec id and
+            # the records section (everything after the 61-byte header) is
+            # one compressed blob (stock librdkafka/Java producers —
+            # reference doc:575-646 — commonly enable compression.type).
+            from hugectr_backend_tpu.update import compression
+
+            rec = compression.decompress(
+                attributes & 0x07, raw[pos + _HEADER.size : end])
+            rend_buf, rpos = rec, 0
+            limit = len(rec)
+        else:
+            rend_buf, rpos = raw, pos + _HEADER.size
+            limit = end
         for _ in range(count):
-            if rpos >= end:
+            if rpos >= limit:
                 break
-            rlen, rpos = dec_varint(raw, rpos)
+            rlen, rpos = dec_varint(rend_buf, rpos)
             rend = rpos + rlen
             p = rpos + 1  # skip record attributes
-            _tsd, p = dec_varint(raw, p)
-            odelta, p = dec_varint(raw, p)
-            klen, p = dec_varint(raw, p)
+            _tsd, p = dec_varint(rend_buf, p)
+            odelta, p = dec_varint(rend_buf, p)
+            klen, p = dec_varint(rend_buf, p)
             key = None
             if klen >= 0:
-                key = raw[p : p + klen]
+                key = rend_buf[p : p + klen]
                 p += klen
-            vlen, p = dec_varint(raw, p)
-            value = raw[p : p + vlen] if vlen >= 0 else b""
+            vlen, p = dec_varint(rend_buf, p)
+            value = rend_buf[p : p + vlen] if vlen >= 0 else b""
             out.append((base_offset + odelta, key, value))
             rpos = rend
         pos = end

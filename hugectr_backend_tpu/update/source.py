@@ -156,6 +156,7 @@ def make_update_source(params: UpdateSourceParams, root: Optional[str] = None):
         return KafkaQueueSource(
             params.brokers,
             receive_buffer_size=max(params.receive_buffer_size, 1 << 16),
+            compression=params.compression_type,
         )
     raise ValueError(f"unknown update source {params.type}")
 

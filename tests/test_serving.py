@@ -369,3 +369,54 @@ def test_tls_frontends(tmp_path):
         channel.close()
     finally:
         srv.stop()
+
+
+def test_batch_failure_isolation(tmp_path):
+    """A device-side fault while executing a MERGED batch fails only the
+    poisoned request: the batcher retries each co-batched request
+    individually (reference per-request GUARDED_RESPOND_IF_ERROR isolation,
+    triton_common.hpp:62-76)."""
+    from hugectr_backend_tpu import HierParameterServer, LookupSession
+    from hugectr_backend_tpu.serving.scheduler import ContinuousBatcher
+
+    tbl = make_synthetic_table(400, 8, seed=44)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(json.dumps({"models": [{
+        "model": "m", "sparse_files": [str(tmp_path / "t0")],
+        "embedding_vecsize_per_table": [8],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "max_batch_size": 64, "gpucacheper": 1.0, "quant_bits": 32,
+        "max_queue_delay_us": 200_000,
+    }]}))
+    params = ps.get_model_params("m")
+    sess = LookupSession.create(params, ps.get_embedding_cache("m", 0))
+    POISON = np.int64(-987654321)
+    real_lookup = sess.lookup_flat
+
+    def flaky_lookup(merged, **kw):
+        if any(POISON in np.asarray(m) for m in merged):
+            raise RuntimeError("simulated device fault")
+        return real_lookup(merged, **kw)
+
+    sess.lookup_flat = flaky_lookup
+    batcher = ContinuousBatcher(params, sess, device_id=0, num_workers=1)
+    try:
+        good_keys = tbl.keys[[1, 2, 3, 4]]
+        f_good = batcher.submit(good_keys, [4])
+        f_bad = batcher.submit(np.array([POISON, tbl.keys[0], 5, 6]), [4])
+        # The good request succeeds with exact vectors despite sharing a
+        # merged batch with the poisoned one...
+        out = f_good.result(timeout=30)
+        np.testing.assert_allclose(
+            out.output.reshape(4, 8), expected_vector(good_keys, 8),
+            rtol=1e-6)
+        # ...and only the poisoned request carries the fault.
+        with pytest.raises(RuntimeError, match="simulated device fault"):
+            f_bad.result(timeout=30)
+        # The batcher is not wedged: a follow-up request still completes.
+        out2 = batcher.infer(good_keys, [4], timeout=30)
+        np.testing.assert_allclose(
+            out2.output.reshape(4, 8), expected_vector(good_keys, 8),
+            rtol=1e-6)
+    finally:
+        batcher.shutdown()

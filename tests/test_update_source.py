@@ -398,3 +398,134 @@ def test_kafka_message_queue_serves_updates_end_to_end(tmp_path, dialect):
     finally:
         ps.shutdown()
         broker.stop()
+
+
+def test_compression_codecs_roundtrip():
+    """All four Kafka codec ids round-trip; the pure-Python snappy/lz4
+    fallback decoders handle back-reference (copy/match) streams built by
+    hand; xxh32 (the LZ4 frame header checksum) matches known vectors."""
+    import struct as _struct
+
+    from hugectr_backend_tpu.update import compression as C
+
+    # xxhash32 known-answer vectors (seed 0).
+    assert C.xxh32(b"") == 0x02CC5D05
+    assert C.xxh32(b"a") == 0x550D7456
+    assert C.xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+    data = (b"repetition " * 400 + bytes(range(256)) * 16
+            + np.random.default_rng(0).bytes(4096))
+    for name in ("gzip", "snappy", "lz4", "zstd"):
+        packed = C.compress(name, data)
+        assert C.decompress(name, packed) == data
+        assert C.decompress(C.codec_id(name), packed) == data
+
+    with pytest.raises(ValueError, match="unknown Kafka codec"):
+        C.codec_id("brotli")
+
+    # Snappy copy tag (1-byte offset): "abc" literal + copy(off=3, len=9).
+    s = b"\x0c" + bytes([(3 - 1) << 2]) + b"abc" \
+        + bytes([1 | ((9 - 4) << 2)]) + b"\x03"
+    assert C._snappy_decompress_raw(s) == b"abcabcabcabc"
+    # snappy-java stream framing (what Java producers emit).
+    block = C._snappy_compress(b"hello world" * 64)
+    framed = (C._SNAPPY_JAVA_MAGIC + (1).to_bytes(4, "big")
+              + (1).to_bytes(4, "big")
+              + _struct.pack(">i", len(block)) + block)
+    assert C._snappy_decompress(framed) == b"hello world" * 64
+
+    # LZ4 block with a match: literals "abcab" + match(off=5, len=18),
+    # plus an extended match (len 15+240+4 via the 0xF escape).
+    blk = bytes([(5 << 4) | (18 - 4)]) + b"abcab" + b"\x05\x00"
+    out = bytearray()
+    C._lz4_block_decompress(blk, out)
+    assert bytes(out) == (b"abcab" * 5)[:23]
+    blk2 = bytes([(5 << 4) | 0xF]) + b"abcab" + b"\x05\x00" + bytes([240])
+    out2 = bytearray()
+    C._lz4_block_decompress(blk2, out2)
+    assert bytes(out2) == (b"abcab" * 53)[: 5 + 15 + 240 + 4]
+    # Full frame around a compressed block (header checksum included).
+    desc = bytes([(1 << 6) | (1 << 5), 4 << 4])
+    frame = (_struct.pack("<I", C._LZ4_MAGIC) + desc
+             + bytes([(C.xxh32(desc) >> 8) & 0xFF])
+             + _struct.pack("<I", len(blk)) + blk + _struct.pack("<I", 0))
+    assert C._lz4_frame_decompress(frame) == (b"abcab" * 5)[:23]
+
+
+@pytest.mark.parametrize("codec", ["gzip", "snappy", "lz4", "zstd"])
+def test_compressed_record_batch_roundtrip(codec):
+    """v2 dialect: a compressed multi-record RecordBatch decodes (with CRC
+    verification — the CRC covers the compressed bytes), closing round-3
+    missing #3 (record_batch.py rejected any compressed batch)."""
+    from hugectr_backend_tpu.update.record_batch import (
+        decode_record_batches,
+        encode_record_batch,
+    )
+
+    entries = [(b"k0", b"v" * 500), (None, b"null-key"), (b"k2", b"z" * 99)]
+    raw = encode_record_batch(entries, base_offset=7, codec=codec)
+    got = decode_record_batches(raw, verify_crc=True)
+    assert got == [(7, b"k0", b"v" * 500), (8, None, b"null-key"),
+                   (9, b"k2", b"z" * 99)]
+    # Mixed stream: compressed batch followed by an uncompressed one.
+    mixed = raw + encode_record_batch([(b"k3", b"tail")], base_offset=10)
+    assert decode_record_batches(mixed, verify_crc=True)[-1] == (
+        10, b"k3", b"tail")
+
+
+@pytest.mark.parametrize("codec", ["gzip", "snappy", "lz4", "zstd"])
+def test_compressed_message_set_roundtrip(codec):
+    """v0 dialect: a compressed wrapper message unwraps to its inner
+    MessageSet with broker-convention offsets (wrapper offset = last
+    inner offset)."""
+    from hugectr_backend_tpu.update.kafka_lite import (
+        decode_message_set,
+        encode_message_set,
+    )
+    import struct as _struct
+
+    entries = [(b"a", b"v0"), (None, b"v1"), (b"c", b"v2" * 300)]
+    ms = encode_message_set(entries, codec=codec)
+    # Broker assigns the wrapper the LAST inner record's offset (here 44).
+    ms = _struct.pack(">q", 44) + ms[8:]
+    got = decode_message_set(ms)
+    assert got == [(42, b"a", b"v0"), (43, None, b"v1"),
+                   (44, b"c", b"v2" * 300)]
+
+
+@pytest.mark.parametrize("dialect,codec", [
+    ("v0", "gzip"), ("v0", "snappy"), ("v2", "lz4"), ("v2", "zstd"),
+    ("v2", "gzip"), ("v0", "lz4"),
+])
+def test_kafka_compressed_fetch_end_to_end(tmp_path, dialect, codec):
+    """Consumer reads a COMPRESSED multi-record batch in both dialects: the
+    mini-broker's compressed-produce mode re-encodes fetch responses with
+    the codec (simulating a trainer-side producer with compression.type
+    set — reference doc:575-646), and the producer side also posts
+    compressed."""
+    from hugectr_backend_tpu.update.kafka_lite import KafkaQueueSource
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    broker = MiniKafkaBroker(dialect=dialect, fetch_codec=codec).start()
+    try:
+        src = KafkaQueueSource(f"127.0.0.1:{broker.port}",
+                               offsets_path=str(tmp_path / "off.json"),
+                               compression=codec)
+        keys = np.arange(8, dtype=np.int64)
+        vecs = np.random.default_rng(3).standard_normal((8, 4)).astype(
+            np.float32)
+        src.post("hps_et.m.t0", keys, vecs)
+        src.post("hps_et.m.t0", keys + 100, vecs * 2)
+        got = list(src.poll(timeout_ms=10))
+        assert len(got) == 2
+        np.testing.assert_array_equal(got[0][1], keys)
+        np.testing.assert_allclose(got[0][2], vecs)
+        np.testing.assert_array_equal(got[1][1], keys + 100)
+        np.testing.assert_allclose(got[1][2], vecs * 2)
+        # Offset bookkeeping survives compressed batches: nothing re-reads.
+        assert list(src.poll(timeout_ms=10)) == []
+        src.post("hps_et.m.t0", keys[:3], vecs[:3])
+        assert len(list(src.poll(timeout_ms=10))) == 1
+        src.close()
+    finally:
+        broker.stop()
