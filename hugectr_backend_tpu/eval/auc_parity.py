@@ -1,0 +1,309 @@
+"""AUC-parity harness: does quantized serving preserve ranking quality?
+
+The north-star accuracy claim (BASELINE.md: int8 embedding AUC delta
+< 0.001) and the reference CI's prediction-correctness clients
+(reference .gitlab-ci.yml:71-72 — dlrm_test.py / wdl2predict.py) both gate
+on the METRIC THAT MATTERS for a CTR model — AUC on held-out clicks — not
+on elementwise tensor tolerances. This module trains a small DLRM (CPU,
+synthetic click data with learnable signal), then evaluates the SAME
+checkpoint through the real serving engine (HierParameterServer ->
+EmbeddingCache -> FusedDlrmServer, i.e. the exact quantize/store/gather/
+dequant path production requests take) under every lookup flavor
+(fp32 / int8 / int4 / fp8) and dense flavor (weight-only int8/fp8, w8a8),
+and reports per-variant AUC deltas vs the fp32 serving baseline.
+
+Used by tests/test_auc_parity.py (suite-sized run, gates int8 at
+delta < 1e-3) and scripts/auc_parity.py (bigger run; writes the committed
+evidence artifact bench_artifacts/auc_parity.json).
+
+Data model (designed so the signal flows THROUGH the embeddings, making
+AUC genuinely sensitive to their quantization): each key k carries a
+latent affinity a[k] and gate b[k]; the click logit is
+
+    s1 * sum_i a[k_i]  +  s2 * (sum_i b[k_i]) * (w . dense)  + noise
+
+— an additive embedding term plus an embedding x dense interaction, both
+learnable by DLRM's bottom-MLP + dot-interaction + top-MLP graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ClickDataset:
+    key_ids: np.ndarray  # [vocab] int64 external key ids
+    keys_idx: np.ndarray  # [N, F] int32 row index into the table
+    dense: np.ndarray  # [N, num_dense] float32
+    labels: np.ndarray  # [N] float32 in {0, 1}
+    base_rate: float
+
+
+def make_click_dataset(
+    n_samples: int,
+    vocab: int,
+    num_feats: int = 26,
+    num_dense: int = 13,
+    seed: int = 0,
+    noise: float = 1.0,
+) -> ClickDataset:
+    rng = np.random.default_rng(seed)
+    # External ids: hashed-looking int64 keys, like a production id space.
+    key_ids = np.sort(
+        rng.choice(np.int64(1) << 40, size=vocab, replace=False).astype(
+            np.int64
+        )
+    )
+    a = rng.standard_normal(vocab).astype(np.float32)
+    b = rng.standard_normal(vocab).astype(np.float32)
+    w = rng.standard_normal(num_dense).astype(np.float32)
+    # Zipf-ish feature popularity (hot keys dominate, as in CTR logs).
+    pop = (1.0 / np.arange(1, vocab + 1) ** 0.8)
+    pop /= pop.sum()
+    keys_idx = rng.choice(vocab, size=(n_samples, num_feats), p=pop).astype(
+        np.int32
+    )
+    dense = rng.standard_normal((n_samples, num_dense)).astype(np.float32)
+    dot = dense @ w
+    logit = (
+        0.6 * a[keys_idx].sum(axis=1)
+        + 0.25 * b[keys_idx].sum(axis=1) * dot
+    )
+    logit = (logit - logit.mean()) / (logit.std() + 1e-9) * 2.0
+    p = 1.0 / (1.0 + np.exp(-(logit + noise * rng.standard_normal(n_samples))))
+    labels = (rng.random(n_samples) < p).astype(np.float32)
+    return ClickDataset(key_ids, keys_idx, dense, labels,
+                        float(labels.mean()))
+
+
+def auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based (Mann-Whitney U) AUC with tie handling."""
+    labels = np.asarray(labels).astype(np.float64)
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_scores = np.asarray(scores)[order]
+    n = len(scores)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    pos = labels.sum()
+    neg = n - pos
+    if pos == 0 or neg == 0:
+        return float("nan")
+    return float((ranks[labels == 1].sum() - pos * (pos + 1) / 2)
+                 / (pos * neg))
+
+
+def train_dlrm(
+    data: ClickDataset,
+    dim: int = 16,
+    steps: int = 400,
+    batch: int = 512,
+    lr: float = 5e-3,
+    seed: int = 0,
+    bottom_widths=(32,),
+    top_widths=(64, 32, 1),
+):
+    """Joint Adam training of the dense graph AND the embedding table.
+
+    -> (model, model_params, table_vectors [vocab, dim] float32). The table
+    is what serving quantizes; training it (rather than using synthetic
+    vectors) is what makes the downstream AUC delta a real measurement.
+    """
+    import optax
+
+    from hugectr_backend_tpu.models.dlrm import DLRM
+
+    vocab = len(data.key_ids)
+    num_dense = data.dense.shape[1]
+    model = DLRM(bottom_widths=(*bottom_widths, dim), top_widths=top_widths)
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(
+        rng,
+        jnp.zeros((2, num_dense), jnp.float32),
+        jnp.zeros((2, data.keys_idx.shape[1], dim), jnp.float32),
+    )
+    table = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(seed + 1), (vocab, dim), jnp.float32
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init((params, table))
+
+    @jax.jit
+    def step(params, table, opt_state, kidx, dense, labels):
+        def loss_fn(pt):
+            p, t = pt
+            emb = jnp.take(t, kidx, axis=0)
+            logits = model.apply(p, dense, emb)
+            return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)((params, table))
+        updates, opt_state = opt.update(grads, opt_state, (params, table))
+        params, table = optax.apply_updates((params, table), updates)
+        return params, table, opt_state, loss
+
+    n = len(data.labels)
+    rs = np.random.default_rng(seed)
+    loss = None
+    for s in range(steps):
+        sel = rs.integers(0, n, batch)
+        params, table, opt_state, loss = step(
+            params,
+            table,
+            opt_state,
+            jnp.asarray(data.keys_idx[sel]),
+            jnp.asarray(data.dense[sel]),
+            jnp.asarray(data.labels[sel]),
+        )
+    assert loss is None or np.isfinite(float(loss)), float(loss)
+    return model, params, np.asarray(table, dtype=np.float32)
+
+
+def serving_scores(
+    model,
+    model_params,
+    key_ids: np.ndarray,
+    table: np.ndarray,
+    keys_idx: np.ndarray,
+    dense: np.ndarray,
+    quant_bits: int = 32,
+    fp8_quant: bool = False,
+    dense_fmt: Optional[str] = None,
+    batch: int = 1024,
+    workdir: Optional[str] = None,
+) -> np.ndarray:
+    """Score held-out samples through the REAL serving engine.
+
+    Writes the checkpoint as a reference-format sparse model, stands up a
+    HierParameterServer with the requested ``quant_bits``/``fp8_quant``
+    (the ps.json keys production uses), and serves through FusedDlrmServer
+    — the fused translate -> gather -> dequant -> dense program. For dense
+    flavors, the fp32 checkpoint converts via quantize_model_params (no
+    retraining), exactly as a deployment would.
+    """
+    from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+    from hugectr_backend_tpu.ps.parameter_server import HierParameterServer
+    from hugectr_backend_tpu.serving.program import FusedDlrmServer
+
+    num_feats = keys_idx.shape[1]
+    workdir = workdir or tempfile.mkdtemp(prefix="hps_auc_")
+    write_sparse_model(f"{workdir}/t0", key_ids, table)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dlrm",
+                    "sparse_files": [f"{workdir}/t0"],
+                    "embedding_vecsize_per_table": [table.shape[1]],
+                    "maxnum_catfeature_query_per_table_per_sample": [
+                        num_feats
+                    ],
+                    "max_batch_size": batch,
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": quant_bits,
+                    "fp8_quant": fp8_quant,
+                }
+            ]
+        }
+    )
+    if dense_fmt:
+        from hugectr_backend_tpu.models.quant_dense import (
+            quantize_model_params,
+        )
+
+        model = model.__class__(
+            bottom_widths=model.bottom_widths,
+            top_widths=model.top_widths,
+            quant_fmt=dense_fmt,
+        )
+        model_params = quantize_model_params(model_params, fmt=(
+            "int8" if dense_fmt == "w8a8" else dense_fmt))
+    srv = FusedDlrmServer(
+        ps.get_model_params("dlrm"),
+        ps.get_embedding_cache("dlrm", 0),
+        model,
+        model_params,
+    )
+    out = []
+    qkeys = key_ids[keys_idx]  # external ids, engine translates
+    for lo in range(0, len(qkeys), batch):
+        out.append(
+            np.asarray(srv.predict(qkeys[lo : lo + batch],
+                                   dense[lo : lo + batch]))
+        )
+    return np.concatenate(out)
+
+
+#: (label, quant_bits, fp8_quant, dense_fmt) per serving variant.
+VARIANTS = {
+    "fp32": (32, False, None),
+    "int8": (8, False, None),
+    "int4": (4, False, None),
+    "fp8": (8, True, None),
+    "int8+dense_int8": (8, False, "int8"),
+    "int8+dense_fp8": (8, True, "fp8"),
+    "int8+dense_w8a8": (8, False, "w8a8"),
+}
+
+
+def run_parity(
+    n_train: int = 80_000,
+    n_eval: int = 20_000,
+    vocab: int = 3_000,
+    dim: int = 16,
+    num_feats: int = 26,
+    steps: int = 400,
+    seed: int = 0,
+    variants=None,
+) -> dict:
+    """Train once, serve every variant, report AUCs + deltas vs fp32."""
+    data = make_click_dataset(
+        n_train + n_eval, vocab, num_feats=num_feats, seed=seed
+    )
+    train = ClickDataset(
+        data.key_ids,
+        data.keys_idx[:n_train],
+        data.dense[:n_train],
+        data.labels[:n_train],
+        data.base_rate,
+    )
+    model, params, table = train_dlrm(train, dim=dim, steps=steps, seed=seed)
+    kidx = data.keys_idx[n_train:]
+    dense = data.dense[n_train:]
+    labels = data.labels[n_train:]
+    out = {
+        "n_train": n_train,
+        "n_eval": n_eval,
+        "vocab": vocab,
+        "dim": dim,
+        "num_feats": num_feats,
+        "steps": steps,
+        "base_rate": data.base_rate,
+        "auc": {},
+        "delta_vs_fp32": {},
+    }
+    for name in variants or VARIANTS:
+        qb, fp8, dfmt = VARIANTS[name]
+        scores = serving_scores(
+            model, params, data.key_ids, table, kidx, dense,
+            quant_bits=qb, fp8_quant=fp8, dense_fmt=dfmt,
+        )
+        out["auc"][name] = auc(labels, scores)
+    base = out["auc"].get("fp32")
+    if base is not None:
+        for name, a in out["auc"].items():
+            out["delta_vs_fp32"][name] = a - base
+    return out
