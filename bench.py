@@ -716,23 +716,68 @@ def main():
         jnp.zeros((BATCH, n_tables, DIM), jnp.float32),
     )
     dense0 = jnp.asarray(rng.standard_normal((BATCH, 13)), jnp.float32)
-    us_e2e = slope_us(BATCH, e2e=(model, params, dense0))
-    e2e_qps = BATCH / us_e2e * 1e6
-    us_e2e_bf16 = slope_us(
-        BATCH, e2e=(DLRM(**arch, compute_dtype=jnp.bfloat16), params, dense0))
-    dense_variants = {
-        "fused_dlrm_bf16cast_dense_samples_per_s": round(
-            BATCH / us_e2e_bf16 * 1e6, 1),
-        "fused_dlrm_bf16cast_dense_batch_latency_us": round(us_e2e_bf16, 1),
-    }
+    # Interleaved A/B protocol (VERDICT r3 weak #2): compile every variant
+    # first, then measure them ROUND-ROBIN within one session — the
+    # cross-variant ordering is then comparable (sequential one-per-session
+    # measurement flipped the w8a8-vs-f32 ordering between sessions at the
+    # chip's ±4% session noise). Per variant: median slope over rounds +
+    # spread; history appended to bench_artifacts/fused_ab_history.jsonl.
+    fused_variants = {"f32": (model, params)}
+    fused_variants["bf16cast"] = (
+        DLRM(**arch, compute_dtype=jnp.bfloat16), params)
     for fmt in ("int8", "fp8", "w8a8"):
-        qm = DLRM(**arch, quant_fmt=fmt)
-        qp = quantize_model_params(params, fmt)
-        us_q = slope_us(BATCH, e2e=(qm, qp, dense0))
-        dense_variants[f"fused_dlrm_{fmt}_dense_samples_per_s"] = round(
-            BATCH / us_q * 1e6, 1)
-        dense_variants[f"fused_dlrm_{fmt}_dense_batch_latency_us"] = round(
-            us_q, 1)
+        fused_variants[fmt] = (
+            DLRM(**arch, quant_fmt=fmt), quantize_model_params(params, fmt))
+
+    runners = {}
+    for name, (m, mp) in fused_variants.items():
+        for iters in (IT_LO, IT_HI):
+            run = make_run(BATCH, iters, m, mp, dense0)
+            a = args_for(0, BATCH)
+            float(run(oh_vals, ar_vals, ar_scales, big_vals, mp, dense0, *a))
+            runners[(name, iters)] = (run, mp)
+    AB_ROUNDS = 3
+    fused_samples = {name: [] for name in fused_variants}
+    for rd in range(AB_ROUNDS):
+        for name in fused_variants:
+            tt = {}
+            for iters in (IT_LO, IT_HI):
+                run, mp = runners[(name, iters)]
+                a = args_for(100 + 13 * rd + iters, BATCH)
+                t0 = time.perf_counter()
+                float(run(oh_vals, ar_vals, ar_scales, big_vals, mp, dense0,
+                          *a))
+                tt[iters] = time.perf_counter() - t0
+            fused_samples[name].append(
+                (tt[IT_HI] - tt[IT_LO]) / (IT_HI - IT_LO) * 1e6)
+    fused_med = {n: float(np.median(s)) for n, s in fused_samples.items()}
+    fused_spread = {
+        n: round((max(s) - min(s)) / max(fused_med[n], 1e-9), 3)
+        for n, s in fused_samples.items()
+    }
+    us_e2e = fused_med["f32"]  # production default
+    e2e_qps = BATCH / us_e2e * 1e6
+    dense_variants = {}
+    for name in ("bf16cast", "int8", "fp8", "w8a8"):
+        dense_variants[f"fused_dlrm_{name}_dense_samples_per_s"] = round(
+            BATCH / fused_med[name] * 1e6, 1)
+        dense_variants[f"fused_dlrm_{name}_dense_batch_latency_us"] = round(
+            fused_med[name], 1)
+    dense_variants["fused_ab_protocol"] = (
+        f"interleaved round-robin x{AB_ROUNDS}, median slope; "
+        "in-session spread (max-min)/median per variant below")
+    dense_variants["fused_ab_spread"] = fused_spread
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_artifacts", "fused_ab_history.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({
+                "samples_us": {n: [round(x, 1) for x in s]
+                               for n, s in fused_samples.items()},
+                "median_us": {n: round(v, 1) for n, v in fused_med.items()},
+            }) + "\n")
+    except OSError:
+        pass
 
     # ---- DIN-style pooled multi-hot lookup (BASELINE config 4) ----------
     # keys [B, S] zipf, masked mean pooling fused into the gather program

@@ -100,6 +100,11 @@ class Histogram:
         with self._lock:
             return self._total.get(key, 0)
 
+    def sum(self, **labels) -> float:
+        key = tuple(sorted(labels.items()))
+        with self._lock:
+            return self._sum.get(key, 0.0)
+
     def percentile(self, q: float, **labels) -> float:
         """Approximate percentile from bucket counts (upper bound)."""
         key = tuple(sorted(labels.items()))

@@ -74,6 +74,8 @@ class ContinuousBatcher:
         self.max_delay_s = max(params.max_queue_delay_us, 0) / 1e6
         self._queue: "queue.Queue[Optional[InferRequest]]" = queue.Queue()
         self._stopped = threading.Event()
+        self._hit_export_tick = 0
+        self._pending_tick = 0
         n_workers = num_workers or max(params.num_of_worker_buffer_in_pool, 1)
         self._workers = [
             threading.Thread(target=self._worker_loop, daemon=True,
@@ -87,7 +89,12 @@ class ContinuousBatcher:
 
     def submit(self, keys: np.ndarray, num_keys: Sequence[int]) -> Future:
         req = self._validate(keys, num_keys)
-        metrics.PENDING_REQUESTS.set(self._queue.qsize(), model=self.params.model_name)
+        # Sampled gauge: a per-submit queue-depth write is pure GIL time on
+        # the saturation profile; depth moves slowly relative to 16 submits.
+        self._pending_tick += 1
+        if self._pending_tick % 16 == 1:
+            metrics.PENDING_REQUESTS.set(
+                self._queue.qsize(), model=self.params.model_name)
         self._queue.put(req)
         return req.future
 
@@ -95,8 +102,15 @@ class ContinuousBatcher:
         return self.submit(keys, num_keys).result(timeout=timeout)
 
     def _validate(self, keys, num_keys) -> InferRequest:
-        keys = np.asarray(keys, dtype=np.int64).reshape(-1)
-        num_keys = np.asarray(num_keys, dtype=np.int64).reshape(-1)
+        # asarray is a no-op view for the already-int64 1-D arrays the
+        # frontends hand us; only odd callers pay a conversion.
+        keys = np.asarray(keys, dtype=np.int64)
+        if keys.ndim != 1 or not keys.flags.c_contiguous:
+            # The native merge memcpys straight from the buffer.
+            keys = np.ascontiguousarray(keys).reshape(-1)
+        num_keys = np.asarray(num_keys, dtype=np.int64)
+        if num_keys.ndim != 1:
+            num_keys = num_keys.reshape(-1)
         n_tables = self.params.num_tables
         if num_keys.shape[0] != n_tables:
             raise RequestError(
@@ -217,14 +231,19 @@ class ContinuousBatcher:
         # Merge: concatenate per-table key runs across requests
         # (the reference's per-request ProcessRequest, batched —
         # hps.cc:586-672; NVTX-equivalent annotation for profiling).
+        # Both data motions (merge and response regroup) are single
+        # GIL-released native memcpy calls with numpy fallbacks
+        # (serving/batchpack.py) — the Python slice/concatenate version
+        # was the frontend-saturation bottleneck at 26 tables.
+        from hugectr_backend_tpu.serving.batchpack import (
+            merge_requests,
+            regroup_responses,
+        )
+
         with annotate(f"ProcessBatch/{model}"):
-            split_keys = [
-                self.session.split_request(r.keys, r.num_keys) for r in batch
-            ]
-            merged = [
-                np.concatenate([sk[t] for sk in split_keys])
-                for t in range(n_tables)
-            ]
+            counts = np.stack([r.num_keys for r in batch])  # [R, T]
+            totals = counts.sum(axis=0)
+            merged = merge_requests([r.keys for r in batch], counts, totals)
             # Pad each table's merged run to its power-of-two bucket
             # at the SLOT level (default-row pads — never a miss, no
             # residency dependence). This pins the compiled-signature
@@ -240,36 +259,36 @@ class ContinuousBatcher:
                 self.session.lookup_flat(merged, pad_counts=pad_counts)
             )
             t_flat = time.perf_counter()
-        # Split back per request: flat is table-major (padded counts);
-        # within a table, requests appear in merge order.
-        dims = [self.session.cache.tables[t].dim for t in range(n_tables)]
-        # Table runs in the flat output are PADDED to pad_counts rows.
-        tstarts = np.concatenate(
-            [[0], np.cumsum([c * d for c, d in zip(pad_counts, dims)])]
-        ).astype(np.int64)
-        offsets = [0] * n_tables
+        # Split back per request: flat is table-major with runs PADDED to
+        # pad_counts rows; within a table, requests appear in merge order.
+        # Each response is a zero-copy view into one regrouped buffer.
+        dims = np.asarray(
+            [self.session.cache.tables[t].dim for t in range(n_tables)],
+            np.int64,
+        )
+        tstarts = np.zeros(n_tables, np.int64)
+        np.cumsum(np.asarray(pad_counts[:-1], np.int64) * dims[:-1],
+                  out=tstarts[1:])
+        out_buf, roffs = regroup_responses(flat, tstarts, dims, counts)
         for bi, r in enumerate(batch):
-            parts = []
-            for t in range(n_tables):
-                n = split_keys[bi][t].shape[0]
-                lo = tstarts[t] + offsets[t] * dims[t]
-                parts.append(flat[lo : lo + n * dims[t]])
-                offsets[t] += n
             r.future.set_result(
                 InferResponse(
-                    output=np.concatenate(parts) if parts else np.empty(0, np.float32),
+                    output=out_buf[roffs[bi] : roffs[bi + 1]],
                     num_samples=r.num_samples,
                     device_id=self.device_id,
                 )
             )
         # Export the per-table EWMA cache hit rate (reference
-        # docs/metrics.md cache metrics; VERDICT r1 weakness 9: tracked
-        # but never exported).
-        cache = self.session.cache
-        for t in range(n_tables):
-            metrics.CACHE_HIT_RATE.set(
-                cache.hit_meter.rate(t), model=model, table=str(t)
-            )
+        # docs/metrics.md cache metrics; VERDICT r1 weakness 9: tracked but
+        # never exported). Refreshed every 32 batches — per-batch gauge
+        # writes for 26 tables were measurable on the saturation profile.
+        self._hit_export_tick += 1
+        if self._hit_export_tick % 32 == 1:
+            cache = self.session.cache
+            for t in range(n_tables):
+                metrics.CACHE_HIT_RATE.set(
+                    cache.hit_meter.rate(t), model=model, table=str(t)
+                )
         t_resp = time.perf_counter()
         # Decomposition (e2e split: tunnel/device vs frontend software):
         # dispatch = translate + device program + transfer (+RTT on

@@ -539,7 +539,13 @@ class HpsHttpServer:
                 "dense_models": dict(dense_models or {}),
             },
         )
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        # Default listen backlog (5) drops connections under bursty client
+        # concurrency — raise it to what a serving frontend expects.
+        server_cls = type(
+            "HpsThreadingHTTPServer", (ThreadingHTTPServer,),
+            {"request_queue_size": 128},
+        )
+        self.httpd = server_cls((host, port), handler)
         if tls_certfile:
             # HTTPS frontend (Triton serves TLS through its endpoints; the
             # reference backend rides that — this is the equivalent knob).
