@@ -768,6 +768,8 @@ def main():
         "in-session spread (max-min)/median per variant below")
     dense_variants["fused_ab_spread"] = fused_spread
     try:
+        if os.environ.get("HPS_BENCH_SMOKE"):
+            raise OSError  # CPU smoke slopes are noise; keep history TPU-only
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_artifacts", "fused_ab_history.jsonl")
         with open(hist, "a") as f:
