@@ -617,26 +617,30 @@ def main():
                     # stack materialization erased the kernel's win —
                     # bench_artifacts/pallas_interaction_parts.json). On
                     # the XLA path EmbParts.stack() reproduces jnp.stack.
+                    # Features enumerate PART-MAJOR — the production order
+                    # since round 4 (serving reorders interleaved chunk
+                    # maps and permutes the top-MLP kernel; the _fm kernel
+                    # assembles z with one transpose per part, measured
+                    # 213 -> 184 us on the full dense forward —
+                    # bench_artifacts/parts_fm_ab.json).
                     from hugectr_backend_tpu.ops.fused_interaction import (
                         EmbParts,
                     )
 
-                    fmap = [None] * n_tables
+                    fmap = []
                     parts = []
                     if len(oh_idx):
                         pi = len(parts)
                         parts.append(
                             oh_rows.reshape(len(oh_idx), batch, -1))
-                        for j, t in enumerate(oh_idx):
-                            fmap[t] = (pi, j)
+                        fmap += [(pi, j) for j in range(len(oh_idx))]
                     if len(ar_idx):
                         pi = len(parts)
                         parts.append(
                             ar_rows.reshape(len(ar_idx), batch, -1))
-                        for j, t in enumerate(ar_idx):
-                            fmap[t] = (pi, j)
+                        fmap += [(pi, j) for j in range(len(ar_idx))]
                     for j, t in enumerate(big_idx):
-                        fmap[t] = (len(parts), 0)
+                        fmap.append((len(parts), 0))
                         parts.append(big_rows[j][None])
                     emb = EmbParts(parts, fmap)
                     logits = e2e_model.apply(mp, dense, emb)

@@ -257,6 +257,134 @@ def _kernel_parts(*refs, dim: int, feats: int, fmap):
         off += n
 
 
+def _kernel_parts_fm(*refs, dim: int, feats: int):
+    """Feature-major z assembly for PART-MAJOR feature maps.
+
+    When the model's feature order is part-major (feature_map ==
+    part_major_order(...)[1]), z never needs per-feature interleaving:
+    the chunks concatenate along axis 0 into [F, bb, D] (contiguous
+    sublane-major copies) and ONE batched contraction with the batch as
+    dimension 1 produces the same [bb, F, F] zzt. The 27 per-feature VMEM
+    relayouts of the general kernel disappear.
+    """
+    bot_ref = refs[0]
+    part_refs = refs[1:-1]
+    out_ref = refs[-1]
+    bot = bot_ref[...]  # [bb, D]
+    # One major-dims transpose per PART ([n, bb, D] -> [bb, n, D]) instead
+    # of the general kernel's per-FEATURE [bb, 1, D] relayouts. (A batch-
+    # minor contraction on [F, bb, D] would skip the transpose entirely,
+    # but Mosaic requires matmul batch dims at position 0.)
+    cols = [bot[:, None, :]]
+    for r in part_refs:
+        cols.append(jnp.swapaxes(r[...], 0, 1))  # [bb, n_p, D]
+    z = jnp.concatenate(cols, axis=1)  # [bb, F, D]
+    zb = z.astype(jnp.bfloat16)
+    zzt = jax.lax.dot_general(
+        zb,
+        zb,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bb, F, F]
+    out_ref[:, :dim] = bot
+    off = dim
+    for f in range(feats - 1):
+        n = feats - 1 - f
+        out_ref[:, off : off + n] = zzt[:, f, f + 1 :].astype(out_ref.dtype)
+        off += n
+
+
+def is_part_major(feature_map) -> bool:
+    """True when features enumerate parts in order with contiguous subs
+    ((0,0),(0,1),...,(1,0),... ) — the order the _fm kernel requires."""
+    want_p, want_s = 0, 0
+    for p, s in feature_map:
+        if p == want_p and s == want_s:
+            want_s += 1
+            continue
+        if p == want_p + 1 and s == 0:
+            want_p, want_s = p, 1
+            continue
+        return False
+    return True
+
+
+def part_major_order(feature_map):
+    """-> (order, new_feature_map): ``order[i]`` is the ORIGINAL feature
+    index placed at position i when features are sorted part-major. Use
+    with :func:`permute_top_mlp_kernel` to serve a checkpoint trained in
+    the original order through the cheaper _fm kernel."""
+    order = sorted(range(len(feature_map)), key=lambda t: feature_map[t])
+    new_map = tuple(feature_map[t] for t in order)
+    return order, new_map
+
+
+def interaction_permutation(order, dim: int):
+    """Row permutation for the FIRST top-MLP kernel when the interaction's
+    features are reordered by ``order`` (new position i <- original
+    order[i]).
+
+    DotInteraction output = [bottom(dim), triu pairs(P)]. Reordering
+    features permutes the pair slots; multiplying the permuted output by a
+    row-permuted first-layer weight reproduces the original logits
+    exactly. Returns indices ``src`` with new_kernel[j] = old_kernel[src[j]]
+    for j in [0, dim + P).
+    """
+    feats = len(order) + 1  # +1 for bottom at z index 0
+    rows, cols = np.triu_indices(feats, k=1)
+    old_pair_idx = {(int(r), int(c)): k for k, (r, c) in
+                    enumerate(zip(rows, cols))}
+    # z-index map: new z index 0 is bottom; 1+i holds original 1+order[i].
+    zmap = [0] + [1 + t for t in order]
+    src = list(range(dim))
+    for r, c in zip(rows, cols):
+        a, b = zmap[int(r)], zmap[int(c)]
+        if a > b:
+            a, b = b, a
+        src.append(dim + old_pair_idx[(a, b)])
+    return np.asarray(src, dtype=np.int64)
+
+
+def permute_top_mlp_kernel(kernel: np.ndarray, order, dim: int):
+    """new_kernel = old_kernel[interaction_permutation(order, dim)] —
+    apply to the first top-MLP Dense kernel ([dim+P, width]) so permuted
+    interaction outputs produce identical logits."""
+    return np.asarray(kernel)[interaction_permutation(order, dim)]
+
+
+def permute_dlrm_top_params(model_params, order, dim: int):
+    """DLRM param tree with the FIRST top-MLP layer's kernel rows permuted
+    for ``order``-reordered interaction features (models/dlrm.py layout:
+    params/MLP_1/{Dense_0|QuantDense_0}). Weight-only quant layers permute
+    ``kernel_q`` rows (scales are per-output-column — row-invariant).
+    Logits are exactly preserved; serving uses this to adopt the cheaper
+    part-major _fm kernel for checkpoints trained in table order."""
+    src = interaction_permutation(order, dim)
+    params = dict(model_params)
+    inner = dict(params["params"])
+    if "MLP_1" not in inner:
+        raise ValueError("not a DLRM param tree (no MLP_1 top module)")
+    top = dict(inner["MLP_1"])
+    for name in ("Dense_0", "QuantDense_0"):
+        if name in top:
+            layer = dict(top[name])
+            key = "kernel" if "kernel" in layer else "kernel_q"
+            k = np.asarray(layer[key])
+            if k.shape[0] != src.shape[0]:
+                raise ValueError(
+                    f"top kernel rows {k.shape[0]} != dim+pairs "
+                    f"{src.shape[0]} — wrong dim or model shape"
+                )
+            layer[key] = jnp.asarray(k[src])
+            top[name] = layer
+            break
+    else:
+        raise ValueError("MLP_1 has no Dense_0/QuantDense_0 layer")
+    inner["MLP_1"] = top
+    params["params"] = inner
+    return params
+
+
 @functools.partial(
     jax.jit, static_argnames=("feature_map", "interpret", "block")
 )
@@ -266,10 +394,14 @@ def _fused_pallas_parts(bottom, parts, *, feature_map, interpret=False,
     feats = len(feature_map) + 1
     pairs = feats * (feats - 1) // 2
     bb = block or _pick_block(batch)
-    return pl.pallas_call(
-        functools.partial(
+    if is_part_major(feature_map):
+        kern = functools.partial(_kernel_parts_fm, dim=dim, feats=feats)
+    else:
+        kern = functools.partial(
             _kernel_parts, dim=dim, feats=feats, fmap=feature_map
-        ),
+        )
+    return pl.pallas_call(
+        kern,
         out_shape=jax.ShapeDtypeStruct((batch, dim + pairs), bottom.dtype),
         grid=(batch // bb,),
         in_specs=[

@@ -137,6 +137,7 @@ class FusedMultiTableServer:
                 )
                 else None
             )
+            order = None
             if chunk_plan is not None:
                 # One feature per table, uniform dim: hand the dense graph
                 # the GROUP outputs chunked (EmbParts) so the Pallas
@@ -148,12 +149,25 @@ class FusedMultiTableServer:
                 # block stride comes from the slice starts (chunk_plan).
                 from hugectr_backend_tpu.ops.fused_interaction import (
                     EmbParts,
+                    is_part_major,
+                    part_major_order,
                 )
 
                 d = slices[0][4]
                 group_shape, fmap = chunk_plan
                 parts = [gouts[g].reshape(nblk, stride, d)
                          for (g, nblk, stride) in group_shape]
+                if not is_part_major(fmap):
+                    # Reorder features part-major: the Pallas interaction
+                    # then assembles z with one transpose per PART instead
+                    # of one relayout per FEATURE (measured 213 -> 184 us
+                    # on the full dense forward at the headline shape —
+                    # bench_artifacts/parts_fm_ab.json). The assemble_fn
+                    # compensates by permuting the first top-MLP kernel
+                    # rows (exact logits; ops/fused_interaction.py
+                    # permute_dlrm_top_params).
+                    o, fmap = part_major_order(fmap)
+                    order = tuple(o)
                 embs = EmbParts(parts, fmap, batch)
             elif chunked:
                 embs = jnp.concatenate(
@@ -168,10 +182,14 @@ class FusedMultiTableServer:
                     gouts[g][start : start + cnt].reshape(batch, k, d)
                     for (g, start, cnt, k, d) in slices
                 ]
+            call = (
+                (lambda: assemble_fn(dense, embs, order))
+                if chunked else (lambda: assemble_fn(dense, embs))
+            )
             if mp:
                 with jax.default_matmul_precision("bfloat16"):
-                    return assemble_fn(dense, embs)
-            return assemble_fn(dense, embs)
+                    return call()
+            return call()
 
         self._fwd = fwd
 
@@ -322,7 +340,18 @@ def make_dlrm_multi_server(params, cache, model, model_params):
     922.5 us chunked vs 1072 us stacked at the headline shape). Models
     with K_t > 1 or mixed dims fall back to the stacked tensor."""
 
-    def assemble(dense, emb):
-        return model.apply(model_params, dense, emb)
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        permute_dlrm_top_params,
+    )
+
+    @functools.lru_cache(maxsize=8)
+    def _permuted(order):
+        return permute_dlrm_top_params(
+            model_params, order, model.bottom_widths[-1]
+        )
+
+    def assemble(dense, emb, order=None):
+        mp = model_params if order is None else _permuted(order)
+        return model.apply(mp, dense, emb)
 
     return FusedMultiTableServer(params, cache, assemble, chunked=True)

@@ -208,3 +208,56 @@ def test_parts_unmapped_rows_zero_grad(inputs):
         # Unmapped trailing row: exactly zero grad. Mapped rows: live grad.
         assert np.abs(np.asarray(g[-1])).max() == 0.0
         assert np.abs(np.asarray(g[:-1])).max() > 0.0
+
+
+def test_part_major_kernel_parity(inputs):
+    """Part-major feature maps route to the feature-major assembly kernel
+    (_kernel_parts_fm) — output must match the XLA reference exactly like
+    the general kernel does."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        is_part_major,
+        part_major_order,
+    )
+
+    bot, emb = inputs
+    parts, fmap = _chunk(emb)
+    assert not is_part_major(fmap)
+    order, new_fmap = part_major_order(fmap)
+    assert is_part_major(new_fmap)
+    # Reordered embedding tensor for the reference.
+    emb_perm = emb[:, np.asarray(order)]
+    got = fused_dot_interaction_parts(bot, parts, new_fmap, True)
+    want = _xla_reference(bot, emb_perm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.12)
+
+
+def test_interaction_permutation_exact_logits(inputs):
+    """Serving a checkpoint through part-major feature order + the
+    row-permuted first top-MLP kernel reproduces the ORIGINAL logits
+    exactly (the transformation that lets production use the _fm kernel
+    with checkpoints trained in table order)."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        interaction_permutation,
+        part_major_order,
+    )
+
+    bot, emb = inputs
+    b, t, d = emb.shape
+    parts, fmap = _chunk(emb)
+    order, new_fmap = part_major_order(fmap)
+    rng = np.random.default_rng(3)
+    pairs = (t + 1) * t // 2
+    w = jnp.asarray(rng.standard_normal((d + pairs, 8)), jnp.float32)
+
+    out_orig = _xla_reference(bot, emb)  # feature order = table order
+    out_perm = _xla_reference(bot, emb[:, np.asarray(order)])
+    src = interaction_permutation(order, d)
+    # In f64 the two orderings are bit-equal up to summation order; f32
+    # matmuls differ only by accumulation order (~2e-4 rel max here).
+    a64 = np.asarray(out_perm, np.float64) @ np.asarray(w, np.float64)[src]
+    b64 = np.asarray(out_orig, np.float64) @ np.asarray(w, np.float64)
+    np.testing.assert_allclose(a64, b64, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out_perm @ w[src]), np.asarray(out_orig @ w),
+        rtol=1e-3, atol=1e-3)

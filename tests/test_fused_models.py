@@ -347,3 +347,63 @@ def test_fused_ncf_serving(tmp_path_factory):
                                   jnp.asarray(ie)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     assert got.shape == (b,) and np.isfinite(got).all()
+
+
+def test_fused_dlrm_part_major_reorder_exact(tmp_path_factory):
+    """Interleaved lookup groups (alternating one-hot / arena tables)
+    produce a NON-part-major chunk feature map; the server then reorders
+    features part-major for the cheaper _fm interaction kernel and
+    permutes the first top-MLP kernel to compensate — logits must equal
+    the plain DLRM forward in ORIGINAL table order exactly
+    (ops/fused_interaction.py part_major_order / permute_dlrm_top_params;
+    bench_artifacts/parts_fm_ab.json measured the kernel win on v5e)."""
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.serving.program import make_dlrm_multi_server
+
+    root = tmp_path_factory.mktemp("dlrm_pm")
+    dim = 8
+    # Alternate below/above the one-hot threshold (4096 rows) so the
+    # one-hot and arena groups interleave in table order.
+    sizes = [300, 8000, 400, 9000, 500]
+    tbls = [make_synthetic_table(n, dim, seed=90 + t)
+            for t, n in enumerate(sizes)]
+    for t, tbl in enumerate(tbls):
+        write_sparse_model(root / f"t{t}", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": "dlrm",
+                    "sparse_files": [str(root / f"t{t}")
+                                     for t in range(len(sizes))],
+                    "embedding_vecsize_per_table": [dim] * len(sizes),
+                    "maxnum_catfeature_query_per_table_per_sample":
+                        [1] * len(sizes),
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": 32,
+                }
+            ]
+        }
+    )
+    cache = ps.get_embedding_cache("dlrm", 0)
+    kinds = {getattr(getattr(tbl, "arena", None), "lookup_kind", "solo")
+             for tbl in cache.tables}
+    assert len(kinds) > 1, f"expected mixed lookup kinds, got {kinds}"
+    b, nd = 6, 4
+    model = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    rng = np.random.default_rng(8)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, len(sizes), dim)))
+    srv = make_dlrm_multi_server(ps.get_model_params("dlrm"), cache,
+                                 model, mp)
+    keys = [tbls[t].keys[rng.integers(0, sizes[t], (b, 1))]
+            for t in range(len(sizes))]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    got = np.asarray(srv.predict(keys, dense))
+    emb_true = np.stack(
+        [expected_vector(keys[t].reshape(-1), dim)
+         for t in range(len(sizes))], axis=1)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense),
+                                  jnp.asarray(emb_true)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
