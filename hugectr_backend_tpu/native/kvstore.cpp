@@ -1047,3 +1047,147 @@ void hps_regroup_responses(int32_t n_reqs, int32_t n_tables,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Snappy / LZ4-block decompressors (update/compression.py fast path).
+//
+// Stock Kafka producers commonly compress update batches; when the optional
+// python wheels are absent the consumer falls back to pure-Python decoders
+// (correct, but per-byte loops). These native decoders keep multi-MB update
+// batches off the Python bytecode path. Formats: raw snappy block
+// (https format: varint preamble + literal/copy tags) and raw LZ4 block
+// (token sequences); LZ4 frame parsing stays in Python, passing each block
+// here with the shared output window so block-dependent frames work.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Back-reference copy with overlap semantics (bytes repeat the pattern).
+// Non-overlapping: one memcpy. Overlapping: seed with the pattern, then
+// double from the freshly written region.
+inline void lz_match_copy(uint8_t* dst, int64_t out, int64_t offset,
+                          int64_t len) {
+  if (offset >= len) {
+    std::memcpy(dst + out, dst + out - offset, len);
+    return;
+  }
+  std::memcpy(dst + out, dst + out - offset, offset);
+  int64_t have = offset;
+  while (have < len) {
+    const int64_t chunk = (have < len - have) ? have : len - have;
+    std::memcpy(dst + out + have, dst + out, chunk);
+    have += chunk;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Raw snappy block: src[0..n) -> dst (cap bytes). Returns bytes written,
+// -1 on malformed input or insufficient cap.
+int64_t hps_snappy_raw(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap) {
+  int64_t pos = 0;
+  uint64_t total = 0;
+  int shift = 0;
+  while (pos < n) {  // preamble varint: uncompressed length
+    uint8_t b = src[pos++];
+    total |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+    if (shift > 35) return -1;
+  }
+  if (static_cast<int64_t>(total) > cap) return -1;
+  int64_t out = 0;
+  while (pos < n) {
+    const uint8_t tag = src[pos++];
+    const int kind = tag & 3;
+    if (kind == 0) {  // literal
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        const int extra = static_cast<int>(len) - 59;
+        if (pos + extra > n) return -1;
+        len = 0;
+        for (int i = 0; i < extra; ++i)
+          len |= static_cast<int64_t>(src[pos + i]) << (8 * i);
+        pos += extra;
+      }
+      len += 1;
+      if (pos + len > n || out + len > cap) return -1;
+      std::memcpy(dst + out, src + pos, len);
+      pos += len;
+      out += len;
+      continue;
+    }
+    int64_t len, offset;
+    if (kind == 1) {
+      if (pos >= n) return -1;
+      len = ((tag >> 2) & 0x7) + 4;
+      offset = (static_cast<int64_t>(tag >> 5) << 8) | src[pos++];
+    } else if (kind == 2) {
+      if (pos + 2 > n) return -1;
+      len = (tag >> 2) + 1;
+      offset = src[pos] | (static_cast<int64_t>(src[pos + 1]) << 8);
+      pos += 2;
+    } else {
+      if (pos + 4 > n) return -1;
+      len = (tag >> 2) + 1;
+      offset = 0;
+      for (int i = 0; i < 4; ++i)
+        offset |= static_cast<int64_t>(src[pos + i]) << (8 * i);
+      pos += 4;
+    }
+    if (offset <= 0 || offset > out || out + len > cap) return -1;
+    lz_match_copy(dst, out, offset, len);
+    out += len;
+  }
+  if (out != static_cast<int64_t>(total)) return -1;
+  return out;
+}
+
+// Raw LZ4 block appended to a shared window: dst already holds `pos` bytes
+// (prior blocks — matches may reach into them). Returns the new window end,
+// -1 on malformed input or insufficient cap.
+int64_t hps_lz4_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                      int64_t cap, int64_t pos) {
+  int64_t ip = 0;
+  int64_t out = pos;
+  while (ip < n) {
+    const uint8_t token = src[ip++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > n || out + lit > cap) return -1;
+    std::memcpy(dst + out, src + ip, lit);
+    ip += lit;
+    out += lit;
+    if (ip >= n) break;  // final sequence: literals only
+    if (ip + 2 > n) return -1;
+    const int64_t offset =
+        src[ip] | (static_cast<int64_t>(src[ip + 1]) << 8);
+    ip += 2;
+    if (offset <= 0 || offset > out) return -1;
+    int64_t ml = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        ml += b;
+      } while (b == 255);
+    }
+    if (out + ml > cap) return -1;
+    lz_match_copy(dst, out, offset, ml);
+    out += ml;
+  }
+  return out;
+}
+
+}  // extern "C"

@@ -32,6 +32,37 @@ import gzip as _gzip
 import struct
 from typing import Optional
 
+_native_lib = None
+_native_checked = False
+
+
+def _native():
+    """Native snappy/lz4-block decoders (kvstore.cpp hps_snappy_raw /
+    hps_lz4_block) — keeps multi-MB compressed update batches off the
+    pure-Python per-byte loops when the wheels are absent."""
+    global _native_lib, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            import ctypes
+
+            from hugectr_backend_tpu.native.kvstore import load_lib
+
+            lib = load_lib()
+            for fn in (lib.hps_snappy_raw,):
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_int64]
+            lib.hps_lz4_block.restype = ctypes.c_int64
+            lib.hps_lz4_block.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
+            _native_lib = lib
+        except Exception:
+            _native_lib = None
+    return _native_lib
+
 CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4, CODEC_ZSTD = 0, 1, 2, 3, 4
 
 CODEC_IDS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
@@ -131,6 +162,18 @@ def _snappy_varint(buf: bytes, pos: int) -> "tuple[int, int]":
 
 
 def _snappy_decompress_raw(data: bytes) -> bytes:
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        total, _ = _snappy_varint(data, 0)
+        buf = bytearray(max(total, 1))
+        n = lib.hps_snappy_raw(
+            data, len(data),
+            (ctypes.c_char * len(buf)).from_buffer(buf), total)
+        if n < 0:
+            raise ValueError("snappy: malformed block (native decoder)")
+        return bytes(buf) if n == len(buf) else bytes(buf[:n])
     total, pos = _snappy_varint(data, 0)
     out = bytearray()
     n = len(data)
@@ -284,6 +327,40 @@ def _lz4_frame_decompress(data: bytes) -> bytes:
         pos += 4
     pos += 1  # header checksum (not verified on decode)
     block_checksum = bool(flg & 0x10)
+    bd_max = (64 << 10) << (2 * max(((data[5] >> 4) & 0x7) - 4, 0))
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        cap = max(4 * len(data), bd_max, 1 << 16)
+        buf = bytearray(cap)
+        end = 0
+        while True:
+            (bsz,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if bsz == 0:
+                break
+            uncompressed = bool(bsz & 0x80000000)
+            bsz &= 0x7FFFFFFF
+            block = data[pos:pos + bsz]
+            pos += bsz
+            if block_checksum:
+                pos += 4
+            if end + bd_max > cap:  # grow the shared window
+                cap = max(2 * cap, end + bd_max)
+                nbuf = bytearray(cap)
+                nbuf[:end] = buf[:end]
+                buf = nbuf
+            if uncompressed:
+                buf[end : end + len(block)] = block
+                end += len(block)
+            else:
+                end = lib.hps_lz4_block(
+                    block, len(block),
+                    (ctypes.c_char * cap).from_buffer(buf), cap, end)
+                if end < 0:
+                    raise ValueError("lz4: malformed block (native decoder)")
+        return bytes(buf[:end])
     out = bytearray()
     while True:
         (bsz,) = struct.unpack_from("<I", data, pos)

@@ -529,3 +529,35 @@ def test_kafka_compressed_fetch_end_to_end(tmp_path, dialect, codec):
         src.close()
     finally:
         broker.stop()
+
+
+def test_compression_native_matches_python(monkeypatch):
+    """The native snappy/lz4 decoders (kvstore.cpp) and the pure-Python
+    fallbacks decode identically, including match-heavy streams."""
+    from hugectr_backend_tpu.update import compression as C
+
+    if C._native() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    data = (b"abcab" * 5000 + rng.bytes(10_000) + b"Z" * 65_000
+            + bytes(range(256)) * 64)
+    for name in ("snappy", "lz4"):
+        packed = C.compress(name, data)
+        native = C.decompress(name, packed)
+        with monkeypatch.context() as m:
+            m.setattr(C, "_native_lib", None)
+            m.setattr(C, "_native_checked", True)
+            py = C.decompress(name, packed)
+        assert native == py == data, name
+    # Hand-built match-bearing streams through the NATIVE path.
+    s = b"\x0c" + bytes([(3 - 1) << 2]) + b"abc" \
+        + bytes([1 | ((9 - 4) << 2)]) + b"\x03"
+    assert C._snappy_decompress_raw(s) == b"abcabcabcabc"
+    import struct as _struct
+
+    blk = bytes([(5 << 4) | (18 - 4)]) + b"abcab" + b"\x05\x00"
+    desc = bytes([(1 << 6) | (1 << 5), 4 << 4])
+    frame = (_struct.pack("<I", C._LZ4_MAGIC) + desc
+             + bytes([(C.xxh32(desc) >> 8) & 0xFF])
+             + _struct.pack("<I", len(blk)) + blk + _struct.pack("<I", 0))
+    assert C._lz4_frame_decompress(frame) == (b"abcab" * 5)[:23]
