@@ -376,6 +376,7 @@ class UpdateSourceParams:
     failure_backoff_ms: int = 50
     max_commit_interval: int = 32
     compression_type: str = "none"  # producer-side codec (gzip/snappy/lz4/zstd)
+    consumer_group_id: str = ""  # "" = node-local offsets (no coordination)
 
     @classmethod
     def from_json(cls, obj: Mapping[str, Any]) -> "UpdateSourceParams":
@@ -402,6 +403,9 @@ class UpdateSourceParams:
         )
         d.compression_type = _get(
             obj, "compression_type", d.compression_type, False, _as_str
+        )
+        d.consumer_group_id = _get(
+            obj, "consumer_group_id", d.consumer_group_id, False, _as_str
         )
         return d
 

@@ -74,6 +74,13 @@ _API_PRODUCE = 0
 _API_FETCH = 1
 _API_LIST_OFFSETS = 2
 _API_METADATA = 3
+_API_OFFSET_COMMIT = 8
+_API_OFFSET_FETCH = 9
+_API_FIND_COORDINATOR = 10
+_API_JOIN_GROUP = 11
+_API_HEARTBEAT = 12
+_API_LEAVE_GROUP = 13
+_API_SYNC_GROUP = 14
 _API_VERSIONS = 18
 
 
@@ -538,6 +545,189 @@ class KafkaClient:
                 return offs[0] if offs else 0
         return 0
 
+    # -- consumer-group coordination (all v0/v1 — spoken by every broker
+    #    since 0.9; the reference consumes through librdkafka's full group
+    #    consumer, doc:575-646) -------------------------------------------
+
+    def find_coordinator(self, group: str) -> "tuple[str, int]":
+        r = self._roundtrip(_API_FIND_COORDINATOR, 0, _enc_str(group))
+        err = r.i16()
+        if err:
+            raise IOError(f"kafka FindCoordinator error {err}")
+        r.i32()  # node id
+        return r.string(), r.i32()
+
+    def join_group(self, group: str, member_id: str, topics: "list[str]",
+                   session_timeout_ms: int = 30_000):
+        """-> (generation, protocol, leader_id, member_id,
+        members [(id, subscribed topics)]) — members only for the leader."""
+        body = (
+            _enc_str(group) + struct.pack(">i", session_timeout_ms)
+            + _enc_str(member_id) + _enc_str("consumer")
+            + struct.pack(">i", 1) + _enc_str("range")
+            + _enc_bytes(encode_member_metadata(topics))
+        )
+        r = self._roundtrip(_API_JOIN_GROUP, 0, body)
+        err = r.i16()
+        if err:
+            raise KafkaGroupError("JoinGroup", err)
+        gen = r.i32()
+        proto = r.string()
+        leader = r.string()
+        mid = r.string()
+        members = [
+            (r.string(), decode_member_metadata(r.bytes_() or b""))
+            for _ in range(r.i32())
+        ]
+        return gen, proto, leader, mid, members
+
+    def sync_group(self, group: str, generation: int, member_id: str,
+                   assignments: "list[tuple[str, dict]]"):
+        """Leader passes ``assignments`` [(member, {topic: [pids]})];
+        followers pass []. -> this member's {topic: [pids]}."""
+        body = (
+            _enc_str(group) + struct.pack(">i", generation)
+            + _enc_str(member_id) + struct.pack(">i", len(assignments))
+            + b"".join(
+                _enc_str(m) + _enc_bytes(encode_assignment(a))
+                for m, a in assignments
+            )
+        )
+        r = self._roundtrip(_API_SYNC_GROUP, 0, body)
+        err = r.i16()
+        if err:
+            raise KafkaGroupError("SyncGroup", err)
+        return decode_assignment(r.bytes_() or b"")
+
+    def heartbeat(self, group: str, generation: int, member_id: str) -> None:
+        body = (_enc_str(group) + struct.pack(">i", generation)
+                + _enc_str(member_id))
+        r = self._roundtrip(_API_HEARTBEAT, 0, body)
+        err = r.i16()
+        if err:
+            raise KafkaGroupError("Heartbeat", err)
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        r = self._roundtrip(_API_LEAVE_GROUP, 0,
+                            _enc_str(group) + _enc_str(member_id))
+        r.i16()  # best-effort
+
+    def offset_commit(self, group: str,
+                      offsets: "dict[tuple[str, int], int]") -> None:
+        """OffsetCommit v0 (broker-stored since 0.9 via group coordinator)."""
+        by_topic: dict[str, list] = {}
+        for (topic, pid), off in offsets.items():
+            by_topic.setdefault(topic, []).append((pid, off))
+        body = _enc_str(group) + struct.pack(">i", len(by_topic))
+        for topic, parts in by_topic.items():
+            body += _enc_str(topic) + struct.pack(">i", len(parts))
+            for pid, off in parts:
+                body += struct.pack(">iq", pid, off) + _enc_str("")
+        r = self._roundtrip(_API_OFFSET_COMMIT, 0, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise IOError(f"kafka OffsetCommit error {err}")
+
+    def offset_fetch(self, group: str,
+                     tps: "list[tuple[str, int]]"
+                     ) -> "dict[tuple[str, int], int]":
+        """OffsetFetch v1 (broker-stored offsets). Missing -> -1."""
+        by_topic: dict[str, list] = {}
+        for topic, pid in tps:
+            by_topic.setdefault(topic, []).append(pid)
+        body = _enc_str(group) + struct.pack(">i", len(by_topic))
+        for topic, pids in by_topic.items():
+            body += _enc_str(topic) + struct.pack(">i", len(pids))
+            for pid in pids:
+                body += struct.pack(">i", pid)
+        r = self._roundtrip(_API_OFFSET_FETCH, 1, body)
+        out = {}
+        for _ in range(r.i32()):
+            topic = r.string()
+            for _ in range(r.i32()):
+                pid = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err:
+                    raise IOError(f"kafka OffsetFetch error {err}")
+                out[(topic, pid)] = off
+        return out
+
+
+class KafkaGroupError(IOError):
+    """Group-protocol error carrying the Kafka error code (22
+    ILLEGAL_GENERATION / 25 UNKNOWN_MEMBER_ID / 27 REBALANCE_IN_PROGRESS
+    trigger a rejoin)."""
+
+    REJOIN_CODES = (22, 25, 27)
+
+    def __init__(self, api: str, code: int):
+        super().__init__(f"kafka {api} error {code}")
+        self.code = code
+
+
+# -- consumer-protocol payloads (the "consumer" protocol_type wire format
+#    every Kafka client embeds in JoinGroup/SyncGroup) ----------------------
+
+
+def encode_member_metadata(topics: "list[str]") -> bytes:
+    return (struct.pack(">hi", 0, len(topics))
+            + b"".join(_enc_str(t) for t in topics) + _enc_bytes(b""))
+
+
+def decode_member_metadata(raw: bytes) -> "list[str]":
+    r = _Reader(raw)
+    r.i16()  # version
+    return [r.string() for _ in range(r.i32())]
+
+
+def encode_assignment(tp_map: "dict[str, list[int]]") -> bytes:
+    out = struct.pack(">hi", 0, len(tp_map))
+    for topic, pids in sorted(tp_map.items()):
+        out += _enc_str(topic) + struct.pack(">i", len(pids))
+        for p in pids:
+            out += struct.pack(">i", p)
+    return out + _enc_bytes(b"")
+
+
+def decode_assignment(raw: bytes) -> "dict[str, list[int]]":
+    if not raw:
+        return {}
+    r = _Reader(raw)
+    r.i16()  # version
+    return {
+        r.string(): [r.i32() for _ in range(r.i32())]
+        for _ in range(r.i32())
+    }
+
+
+def range_assign(members: "list[tuple[str, list[str]]]",
+                 topic_partitions: "dict[str, list[int]]"
+                 ) -> "dict[str, dict[str, list[int]]]":
+    """The stock range assignor: per topic, subscribed members sorted by id
+    split the sorted partition list into contiguous ranges (first members
+    take the remainder) — matches Java's RangeAssignor so mixed fleets
+    agree."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m, _ in members}
+    for topic, pids in sorted(topic_partitions.items()):
+        subs = sorted(m for m, topics in members if topic in topics)
+        if not subs:
+            continue
+        pids = sorted(pids)
+        n, k = divmod(len(pids), len(subs))
+        pos = 0
+        for i, m in enumerate(subs):
+            take = n + (1 if i < k else 0)
+            if take:
+                out[m].setdefault(topic, []).extend(pids[pos:pos + take])
+            pos += take
+    return out
+
 
 # ---------------------------------------------------------------- transport
 
@@ -564,17 +754,35 @@ def decode_update(value: bytes):
 class KafkaQueueSource(MessageProducer, MessageSource):
     """``kafka_message_queue`` transport: Producer + Source over KafkaClient.
 
-    One topic per embedding table (topic name == table tag). Offsets are
-    local (optionally persisted at ``offsets_path``); consumption is
-    at-least-once and updates are idempotent upserts.
+    One topic per embedding table (topic name == table tag). Consumption is
+    at-least-once and updates are idempotent upserts. Two offset modes:
+
+    - default: offsets are node-local (optionally persisted at
+      ``offsets_path``) and every node reads the full stream (safe —
+      upserts are idempotent);
+    - ``group_id`` set: full consumer-group coordination — the node joins
+      the group (JoinGroup/SyncGroup, stock range assignor), consumes only
+      its ASSIGNED partitions, heartbeats each poll, rejoins on rebalance,
+      and commits offsets to the broker (OffsetCommit/OffsetFetch), so a
+      fleet of inference nodes splits the update stream without
+      double-apply (the reference's librdkafka consumer behavior,
+      doc:575-646).
     """
 
     def __init__(self, brokers: str, receive_buffer_size: int = 1 << 20,
                  offsets_path: Optional[str] = None,
-                 compression: "int | str | None" = 0):
+                 compression: "int | str | None" = 0,
+                 group_id: Optional[str] = None,
+                 session_timeout_ms: int = 30_000):
         bootstrap = brokers.split(",")[0].strip()
         self.client = KafkaClient(bootstrap, recv_buffer=receive_buffer_size)
         self.compression = compression  # producer-side compression.type
+        self.group_id = group_id
+        self.session_timeout_ms = session_timeout_ms
+        self._member_id = ""
+        self._generation = -1
+        self._assignment: "Optional[dict[str, list[int]]]" = None
+        self._subscribed: "tuple[str, ...]" = ()
         self._compat_checked = False
         self._nparts: dict[str, int] = {}  # topic -> partition count (cached)
         # Offsets are per (topic, partition), persisted as "topic:pid" keys;
@@ -624,6 +832,64 @@ class KafkaQueueSource(MessageProducer, MessageSource):
             return self.client.produce(table_tag, part, [(key, value)],
                                        codec=self.compression)
 
+    # -- consumer-group membership ----------------------------------------
+
+    def _rejoin(self, topics: "list[str]") -> None:
+        """Join/sync until this member holds a valid assignment."""
+        self._subscribed = tuple(sorted(topics))
+        for _ in range(10):
+            try:
+                gen, _proto, leader, mid, members = self.client.join_group(
+                    self.group_id, self._member_id, list(self._subscribed),
+                    self.session_timeout_ms,
+                )
+            except KafkaGroupError as e:
+                if e.code == 25:  # UNKNOWN_MEMBER_ID: start fresh
+                    self._member_id = ""
+                    continue
+                raise
+            self._member_id = mid
+            self._generation = gen
+            if leader == mid:
+                _, tp = self.client.metadata(list(self._subscribed))
+                plan = range_assign(
+                    members,
+                    {t: tp.get(t, [0]) for t in self._subscribed},
+                )
+                assignments = [(m, plan.get(m, {})) for m, _ in members]
+            else:
+                assignments = []
+            try:
+                self._assignment = self.client.sync_group(
+                    self.group_id, gen, mid, assignments)
+                log.info("kafka group %s member %s gen %d assigned %s",
+                         self.group_id, mid, gen, self._assignment)
+                return
+            except KafkaGroupError as e:
+                if e.code in KafkaGroupError.REJOIN_CODES:
+                    continue
+                raise
+        raise IOError(f"kafka group {self.group_id}: rejoin did not settle")
+
+    def _group_ready(self, topics: "list[str]") -> bool:
+        if self.group_id is None:
+            return False
+        need_join = (
+            self._assignment is None
+            or tuple(sorted(topics)) != self._subscribed
+        )
+        if not need_join:
+            try:
+                self.client.heartbeat(self.group_id, self._generation,
+                                      self._member_id)
+            except KafkaGroupError as e:
+                if e.code not in KafkaGroupError.REJOIN_CODES:
+                    raise
+                need_join = True
+        if need_join:
+            self._rejoin(topics)
+        return True
+
     # -- source ------------------------------------------------------------
 
     def poll(self, timeout_ms: int = 0) -> Iterator:
@@ -632,14 +898,23 @@ class KafkaQueueSource(MessageProducer, MessageSource):
             _, topics = self.client.metadata()
         except OSError as e:
             raise IOError(f"kafka metadata failed: {e}") from e
-        for topic in sorted(topics):
-            if not topic.startswith(TOPIC_PREFIX):
-                continue
+        mine = sorted(t for t in topics if t.startswith(TOPIC_PREFIX))
+        grouped = self._group_ready(mine)
+        for topic in mine:
             self._nparts[topic] = len(topics[topic]) or 1
             # EVERY partition: a multi-partition trainer-side topic loses no
-            # updates (round-2 consumed partition 0 only).
-            for pid in sorted(topics[topic]):
+            # updates (round-2 consumed partition 0 only). Under a consumer
+            # group, only the partitions this member was ASSIGNED.
+            pids = (self._assignment.get(topic, []) if grouped
+                    else sorted(topics[topic]))
+            for pid in pids:
                 offset = self._offsets.get((topic, pid))
+                if offset is None and grouped:
+                    committed = self.client.offset_fetch(
+                        self.group_id, [(topic, pid)]
+                    ).get((topic, pid), -1)
+                    if committed >= 0:
+                        offset = committed
                 if offset is None:
                     offset = self.client.list_offsets(topic, pid, -2)
                 while True:
@@ -655,6 +930,8 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                         yield topic, keys, vecs
 
     def commit(self) -> None:
+        if self.group_id is not None and self._offsets:
+            self.client.offset_commit(self.group_id, dict(self._offsets))
         if self._offsets_path is None:
             return
         tmp = self._offsets_path.with_suffix(".tmp")
@@ -664,4 +941,9 @@ class KafkaQueueSource(MessageProducer, MessageSource):
         os.replace(tmp, self._offsets_path)
 
     def close(self) -> None:
+        if self.group_id is not None and self._member_id:
+            try:
+                self.client.leave_group(self.group_id, self._member_id)
+            except (OSError, KafkaGroupError):
+                pass
         self.client.close()

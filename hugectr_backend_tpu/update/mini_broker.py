@@ -24,6 +24,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 from typing import Optional
 
 from hugectr_backend_tpu.update.kafka_lite import (
@@ -59,6 +60,15 @@ class MiniKafkaBroker:
         # (topic, partition) -> list of (key|None, value); offset == index
         self.logs: dict[tuple[str, int], list] = {}
         self._lock = threading.Lock()
+        # Consumer-group coordinator state (JoinGroup barrier semantics:
+        # a join opens a short rebalance window; the generation bumps ONCE
+        # when every known member has rejoined or the window closes, and
+        # members that missed the window are dropped — the real broker's
+        # join-phase behavior, simplified).
+        self.groups: dict[str, dict] = {}
+        self.group_offsets: dict[tuple[str, str, int], int] = {}
+        self._gcv = threading.Condition()
+        self.rebalance_window_s = 0.5
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._accept_thread: Optional[threading.Thread] = None
@@ -141,9 +151,10 @@ class MiniKafkaBroker:
     # ------------------------------------------------------------- handlers
 
     # Request versions each dialect accepts, per api key.
+    _GROUP_VERSIONS = {8: 0, 9: 1, 10: 0, 11: 0, 12: 0, 13: 0, 14: 0}
     _VERSIONS = {
-        "v0": {0: 0, 1: 0, 2: 0, 3: 0},
-        "v2": {0: 3, 1: 4, 2: 1, 3: 4},
+        "v0": {0: 0, 1: 0, 2: 0, 3: 0, **_GROUP_VERSIONS},
+        "v2": {0: 3, 1: 4, 2: 1, 3: 4, **_GROUP_VERSIONS},
     }
 
     def _handle(self, payload: bytes) -> bytes:
@@ -163,6 +174,13 @@ class MiniKafkaBroker:
             1: self._fetch_v4 if v2 else self._fetch,
             2: self._list_offsets_v1 if v2 else self._list_offsets,
             3: self._metadata_v4 if v2 else self._metadata,
+            8: self._offset_commit,
+            9: self._offset_fetch,
+            10: self._find_coordinator,
+            11: self._join_group,
+            12: self._heartbeat,
+            13: self._leave_group,
+            14: self._sync_group,
             18: self._api_versions,
         }[api](r)
         return struct.pack(">i", corr) + body
@@ -170,9 +188,13 @@ class MiniKafkaBroker:
     def _api_versions(self, r: _Reader) -> bytes:
         if self.dialect == "v2":
             # A post-KIP-896 broker: v0 request versions are gone.
-            apis = [(0, 3, 9), (1, 4, 13), (2, 1, 8), (3, 1, 12), (18, 0, 3)]
+            apis = [(0, 3, 9), (1, 4, 13), (2, 1, 8), (3, 1, 12),
+                    (8, 0, 8), (9, 0, 8), (10, 0, 4), (11, 0, 9),
+                    (12, 0, 4), (13, 0, 5), (14, 0, 5), (18, 0, 3)]
         else:
-            apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (18, 0, 0)]
+            apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0),
+                    (8, 0, 0), (9, 0, 1), (10, 0, 0), (11, 0, 0),
+                    (12, 0, 0), (13, 0, 0), (14, 0, 0), (18, 0, 0)]
         out = struct.pack(">hi", 0, len(apis))
         for api, lo, hi in apis:
             out += struct.pack(">hhh", api, lo, hi)
@@ -389,4 +411,171 @@ class MiniKafkaBroker:
                     off = 0 if time_ms == -2 else len(log)
                 # err, timestamp, offset
                 out += struct.pack(">ihqq", pid, 0, -1, off)
+        return out
+
+    # ------------------------------------------------- group coordination
+
+    def _group(self, name: str) -> dict:
+        return self.groups.setdefault(name, {
+            "members": {}, "generation": 0, "assignments": {},
+            "state": "stable", "joined": set(), "counter": 0, "round": 0,
+            "deadline": 0.0,
+        })
+
+    def _find_coordinator(self, r: _Reader) -> bytes:
+        r.string()  # group (single-node: we coordinate everything)
+        return (struct.pack(">hi", 0, 0) + _enc_str(self.host)
+                + struct.pack(">i", self.port))
+
+    def _join_group(self, r: _Reader) -> bytes:
+        group = r.string()
+        r.i32()  # session_timeout_ms
+        member_id = r.string() or ""
+        r.string()  # protocol_type
+        meta = b""
+        for i in range(r.i32()):
+            name = r.string()
+            blob = r.bytes_() or b""
+            if i == 0:
+                _ = name
+                meta = blob
+        with self._gcv:
+            g = self._group(group)
+            if not member_id:
+                g["counter"] += 1
+                member_id = f"{group}-member-{g['counter']}"
+            known_before = set(g["members"])
+            g["members"][member_id] = meta
+            if g["state"] != "joining":
+                g["state"] = "joining"
+                g["joined"] = set()
+                g["deadline"] = time.monotonic() + self.rebalance_window_s
+                # Early barrier exit once every member known BEFORE this
+                # rebalance has rejoined; a FRESH group ({} before) waits
+                # the full window so concurrent first joiners coalesce
+                # into one generation (group.initial.rebalance.delay).
+                g["expected"] = known_before | {member_id}
+                g["fresh"] = len(known_before) == 0
+            g["joined"].add(member_id)
+            my_round = g["round"]
+            self._gcv.notify_all()
+            while (g["state"] == "joining" and g["round"] == my_round
+                   and not (not g["fresh"]
+                            and g["joined"] >= g["expected"])
+                   and time.monotonic() < g["deadline"]):
+                self._gcv.wait(0.05)
+            if g["state"] == "joining" and g["round"] == my_round:
+                # Barrier complete: drop members that missed the window,
+                # bump the generation ONCE, await the leader's sync.
+                g["members"] = {m: g["members"][m] for m in sorted(g["joined"])}
+                g["generation"] += 1
+                g["assignments"] = {}
+                g["state"] = "awaiting_sync"
+                g["round"] += 1
+                self._gcv.notify_all()
+            leader = sorted(g["members"])[0]
+            gen = g["generation"]
+            members = (sorted(g["members"].items())
+                       if member_id == leader else [])
+        out = (struct.pack(">hi", 0, gen) + _enc_str("range")
+               + _enc_str(leader) + _enc_str(member_id))
+        out += struct.pack(">i", len(members))
+        for m, blob in members:
+            out += _enc_str(m) + _enc_bytes(blob)
+        return out
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        group = r.string()
+        gen = r.i32()
+        member_id = r.string()
+        assignments = {}
+        for _ in range(r.i32()):
+            m = r.string()
+            assignments[m] = r.bytes_() or b""
+        with self._gcv:
+            g = self._group(group)
+            if member_id not in g["members"]:
+                return struct.pack(">h", 25) + _enc_bytes(b"")  # UNKNOWN_MEMBER
+            if gen != g["generation"]:
+                return struct.pack(">h", 22) + _enc_bytes(b"")  # ILLEGAL_GEN
+            if assignments:  # leader
+                g["assignments"] = assignments
+                g["state"] = "stable"
+                self._gcv.notify_all()
+            deadline = time.monotonic() + 5.0
+            while (not g["assignments"] and g["generation"] == gen
+                   and time.monotonic() < deadline):
+                self._gcv.wait(0.05)
+            if g["generation"] != gen:
+                return struct.pack(">h", 22) + _enc_bytes(b"")
+            if not g["assignments"]:
+                return struct.pack(">h", 27) + _enc_bytes(b"")  # REBALANCE
+            return (struct.pack(">h", 0)
+                    + _enc_bytes(g["assignments"].get(member_id, b"")))
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        group = r.string()
+        gen = r.i32()
+        member_id = r.string()
+        with self._gcv:
+            g = self.groups.get(group)
+            if g is None or member_id not in g["members"]:
+                return struct.pack(">h", 25)
+            if g["state"] != "stable":
+                return struct.pack(">h", 27)
+            if gen != g["generation"]:
+                return struct.pack(">h", 22)
+        return struct.pack(">h", 0)
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        group = r.string()
+        member_id = r.string()
+        with self._gcv:
+            g = self.groups.get(group)
+            if g and member_id in g["members"]:
+                del g["members"][member_id]
+                g["joined"].discard(member_id)
+                # Remaining members rebalance on their next heartbeat.
+                if g["members"]:
+                    g["state"] = "joining"
+                    g["joined"] = set()
+                    g["deadline"] = (time.monotonic()
+                                     + self.rebalance_window_s)
+                else:
+                    g["state"] = "stable"
+                    g["assignments"] = {}
+                self._gcv.notify_all()
+        return struct.pack(">h", 0)
+
+    def _offset_commit(self, r: _Reader) -> bytes:
+        group = r.string()
+        ntop = r.i32()
+        out = struct.pack(">i", ntop)
+        for _ in range(ntop):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                with self._gcv:
+                    self.group_offsets[(group, topic, pid)] = off
+                out += struct.pack(">ih", pid, 0)
+        return out
+
+    def _offset_fetch(self, r: _Reader) -> bytes:
+        group = r.string()
+        ntop = r.i32()
+        out = struct.pack(">i", ntop)
+        for _ in range(ntop):
+            topic = r.string()
+            nparts = r.i32()
+            out += _enc_str(topic) + struct.pack(">i", nparts)
+            for _ in range(nparts):
+                pid = r.i32()
+                with self._gcv:
+                    off = self.group_offsets.get((group, topic, pid), -1)
+                out += struct.pack(">iq", pid, off) + _enc_str("") \
+                    + struct.pack(">h", 0)
         return out

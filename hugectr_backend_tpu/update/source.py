@@ -15,9 +15,9 @@ Transport implementations:
   table tag, like the reference's one-Kafka-topic-per-table, README.md:215),
   usable without any broker. Messages are the sparse-model binary format
   (key/emb_vector pairs) plus a monotonically increasing sequence number.
-- ``kafka_message_queue`` config is accepted; without a Kafka client in the
-  image it raises a clear error at construction (stub point for deployments
-  that add one).
+- ``kafka_message_queue``: the wire-protocol-lite Kafka transport
+  (update/kafka_lite.py) — both dialects, all compression codecs, and
+  optional consumer-group coordination via ``consumer_group_id``.
 
 Consumer semantics follow the reference knobs: ``poll_timeout_ms``,
 ``max_batch_size`` (chunked application), ``failure_backoff_ms`` (retry on
@@ -157,6 +157,7 @@ def make_update_source(params: UpdateSourceParams, root: Optional[str] = None):
             params.brokers,
             receive_buffer_size=max(params.receive_buffer_size, 1 << 16),
             compression=params.compression_type,
+            group_id=params.consumer_group_id or None,
         )
     raise ValueError(f"unknown update source {params.type}")
 

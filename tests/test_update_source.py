@@ -561,3 +561,71 @@ def test_compression_native_matches_python(monkeypatch):
              + bytes([(C.xxh32(desc) >> 8) & 0xFF])
              + _struct.pack("<I", len(blk)) + blk + _struct.pack("<I", 0))
     assert C._lz4_frame_decompress(frame) == (b"abcab" * 5)[:23]
+
+
+@pytest.mark.parametrize("dialect", ["v0", "v2"])
+def test_kafka_consumer_group_splits_partitions(tmp_path, dialect):
+    """Two inference nodes in one consumer group split a multi-partition
+    update topic without double-apply: JoinGroup/SyncGroup with the stock
+    range assignor, broker-stored OffsetCommit/OffsetFetch, heartbeat-driven
+    rebalance (the reference's librdkafka consumer behavior, doc:575-646;
+    round-3 consumed node-locally only)."""
+    from hugectr_backend_tpu.update.kafka_lite import KafkaQueueSource
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    broker = MiniKafkaBroker(num_partitions=4, dialect=dialect).start()
+    broker.rebalance_window_s = 0.3
+    try:
+        # Producer (no group) spreads updates across partitions by key.
+        prod = KafkaQueueSource(f"127.0.0.1:{broker.port}")
+        rng = np.random.default_rng(5)
+        sent = {}
+        for i in range(12):
+            tag = f"hps_et.m.t{i % 3}"
+            keys = np.arange(4, dtype=np.int64) + 100 * i
+            vecs = rng.standard_normal((4, 4)).astype(np.float32)
+            prod.post(tag, keys, vecs)
+            sent.setdefault(tag, []).append((keys, vecs))
+
+        a = KafkaQueueSource(f"127.0.0.1:{broker.port}", group_id="hps-ps")
+        b = KafkaQueueSource(f"127.0.0.1:{broker.port}", group_id="hps-ps")
+
+        # Join concurrently (the broker's join barrier holds the first
+        # joiner until the window closes).
+        import threading
+        got_a, got_b = [], []
+        ta = threading.Thread(target=lambda: got_a.extend(a.poll(10)))
+        tb = threading.Thread(target=lambda: got_b.extend(b.poll(10)))
+        ta.start(); tb.start(); ta.join(30); tb.join(30)
+
+        # Disjoint partition assignments covering every partition.
+        assert a._assignment is not None and b._assignment is not None
+        for topic in sent:
+            pa = set(a._assignment.get(topic, []))
+            pb = set(b._assignment.get(topic, []))
+            assert pa.isdisjoint(pb)
+            assert pa | pb == set(range(4))
+        # Between them, every update arrives exactly once.
+        seen = {}
+        for tag, keys, vecs in got_a + got_b:
+            seen.setdefault(tag, []).append((keys, vecs))
+        for tag, batches in sent.items():
+            got_keys = np.sort(np.concatenate(
+                [k for k, _ in seen.get(tag, [])]))
+            want_keys = np.sort(np.concatenate([k for k, _ in batches]))
+            np.testing.assert_array_equal(got_keys, want_keys)
+
+        # Broker-stored offsets: a fresh member in the SAME group resumes
+        # past everything already committed.
+        a.commit(); b.commit()
+        a.close(); b.close()
+        c = KafkaQueueSource(f"127.0.0.1:{broker.port}", group_id="hps-ps")
+        assert list(c.poll(10)) == []  # nothing new, nothing re-read
+        prod.post("hps_et.m.t0", np.array([7], np.int64),
+                  np.ones((1, 4), np.float32))
+        fresh = list(c.poll(10))
+        assert len(fresh) == 1 and fresh[0][0] == "hps_et.m.t0"
+        c.close()
+        prod.close()
+    finally:
+        broker.stop()
