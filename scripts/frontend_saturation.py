@@ -151,9 +151,8 @@ def run_direct(server, table_keys, n_t, duration, conc, batch):
 
 
 def run_http(server, table_keys, n_t, duration, conc, batch):
-    import urllib.request
+    import http.client
 
-    url = f"http://127.0.0.1:{server.port}/v2/models/dlrm/infer"
     rng = np.random.default_rng(1)
     blobs = []
     for _ in range(64):
@@ -179,18 +178,23 @@ def run_http(server, table_keys, n_t, duration, conc, batch):
     counts = [0] * conc
 
     def client(cid):
+        # Persistent keep-alive connection (the server speaks HTTP/1.1);
+        # per-request reconnects would measure TCP setup, not the frontend.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=60)
         i = cid
         while not stop.is_set():
             header, raw = blobs[i % len(blobs)]
             i += 1
-            r = urllib.request.urlopen(urllib.request.Request(
-                url, data=header + raw,
+            conn.request(
+                "POST", "/v2/models/dlrm/infer", body=header + raw,
                 headers={
                     "Content-Type": "application/octet-stream",
                     "Inference-Header-Content-Length": str(len(header)),
-                }), timeout=60)
-            r.read()
+                })
+            conn.getresponse().read()
             counts[cid] += 1
+        conn.close()
 
     threads = [threading.Thread(target=client, args=(c,), daemon=True)
                for c in range(conc)]
