@@ -394,12 +394,24 @@ def _fused_pallas_parts(bottom, parts, *, feature_map, interpret=False,
     feats = len(feature_map) + 1
     pairs = feats * (feats - 1) // 2
     bb = block or _pick_block(batch)
-    if is_part_major(feature_map):
+    # Parts may carry UNMAPPED rows (pow2 tail-padded arena blocks from the
+    # lookup engine's _chunk_plan, or tables excluded from the interaction).
+    # A part-major map references exactly the first `used[p]` rows of each
+    # part, so the _fm kernel's BlockSpecs fetch only those — phantom
+    # blocks are never DMA'd into VMEM and z stays [bb, feats, D]. A
+    # wholly-unmapped part (used == 0: zero-size block) or a non-part-major
+    # map takes the general kernel, which addresses parts through the fmap.
+    used = [0] * len(parts)
+    for p, s in feature_map:
+        used[p] = max(used[p], s + 1)
+    if is_part_major(feature_map) and all(used):
         kern = functools.partial(_kernel_parts_fm, dim=dim, feats=feats)
+        fetch_rows = used
     else:
         kern = functools.partial(
             _kernel_parts, dim=dim, feats=feats, fmap=feature_map
         )
+        fetch_rows = [p.shape[0] for p in parts]
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((batch, dim + pairs), bottom.dtype),
@@ -408,11 +420,11 @@ def _fused_pallas_parts(bottom, parts, *, feature_map, interpret=False,
             pl.BlockSpec((bb, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] + [
             pl.BlockSpec(
-                (p.shape[0], bb, dim),
+                (rows, bb, dim),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             )
-            for p in parts
+            for p, rows in zip(parts, fetch_rows)
         ],
         out_specs=pl.BlockSpec(
             (bb, dim + pairs), lambda i: (i, 0), memory_space=pltpu.VMEM

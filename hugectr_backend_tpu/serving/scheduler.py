@@ -214,19 +214,22 @@ class ContinuousBatcher:
                 if r.future.done():
                     continue
                 try:
-                    self._execute_merged([r])
+                    self._execute_merged([r], is_retry=True)
                 except Exception as ee:
                     metrics.REQUEST_FAIL.inc(1, model=model)
                     if not r.future.done():
                         r.future.set_exception(ee)
 
-    def _execute_merged(self, batch: list[InferRequest]):
+    def _execute_merged(self, batch: list[InferRequest],
+                        is_retry: bool = False):
         from hugectr_backend_tpu.utils.tracing import annotate
 
         t0 = time.perf_counter()
         model = self.params.model_name
-        for r in batch:
-            metrics.QUEUE_LATENCY.observe(t0 - r.enqueue_time, model=model)
+        if not is_retry:  # the failed merged attempt already observed these
+            for r in batch:
+                metrics.QUEUE_LATENCY.observe(t0 - r.enqueue_time,
+                                              model=model)
         n_tables = self.params.num_tables
         # Merge: concatenate per-table key runs across requests
         # (the reference's per-request ProcessRequest, batched —
@@ -270,6 +273,12 @@ class ContinuousBatcher:
         np.cumsum(np.asarray(pad_counts[:-1], np.int64) * dims[:-1],
                   out=tstarts[1:])
         out_buf, roffs = regroup_responses(flat, tstarts, dims, counts)
+        # Responses are zero-copy READ-ONLY views into one shared buffer
+        # (the frontends only serialize them); callers that need to mutate
+        # must copy — a writable view would let one request corrupt its
+        # co-batched peers. Note a retained view pins the whole merged
+        # buffer; frontends serialize-and-drop immediately.
+        out_buf.flags.writeable = False
         for bi, r in enumerate(batch):
             r.future.set_result(
                 InferResponse(

@@ -389,19 +389,26 @@ def _lz4_decompress(data: bytes) -> bytes:
         return _lz4_frame_decompress(data)
 
 
-def _lz4_compress(data: bytes) -> bytes:
-    try:
-        import lz4.frame  # type: ignore
+def _lz4_compress(data: bytes, legacy_kafka_hc: bool = False) -> bytes:
+    if not legacy_kafka_hc:
+        try:
+            import lz4.frame  # type: ignore
 
-        return lz4.frame.compress(data)
-    except ImportError:
-        pass
+            return lz4.frame.compress(data)
+        except ImportError:
+            pass
     # Frame of uncompressed blocks: valid LZ4F (librdkafka verifies the
     # header checksum, so compute the real xxh32 of FLG..BD).
+    # ``legacy_kafka_hc``: pre-KIP-57 Kafka (message format v0/v1, the v0
+    # wire dialect) computed the header checksum over the bytes INCLUDING
+    # the 4-byte magic — and old brokers VALIDATE that broken convention
+    # for magic-0 wrapper messages, so v0-dialect produce must emit it.
     flg = (1 << 6) | (1 << 5)  # version 01, block-independent
     bd = 7 << 4  # 4 MB max block size
     desc = bytes([flg, bd])
-    hc = (xxh32(desc) >> 8) & 0xFF
+    hc_input = (struct.pack("<I", _LZ4_MAGIC) + desc
+                if legacy_kafka_hc else desc)
+    hc = (xxh32(hc_input) >> 8) & 0xFF
     out = bytearray(struct.pack("<I", _LZ4_MAGIC) + desc + bytes([hc]))
     pos = 0
     while pos < len(data):
@@ -431,7 +438,8 @@ def _zstd_module():
 # ---------------------------------------------------------------- dispatch
 
 
-def compress(codec: "int | str | None", data: bytes) -> bytes:
+def compress(codec: "int | str | None", data: bytes,
+             lz4_legacy_kafka_hc: bool = False) -> bytes:
     cid = codec_id(codec)
     if cid == CODEC_NONE:
         return data
@@ -440,7 +448,7 @@ def compress(codec: "int | str | None", data: bytes) -> bytes:
     if cid == CODEC_SNAPPY:
         return _snappy_compress(data)
     if cid == CODEC_LZ4:
-        return _lz4_compress(data)
+        return _lz4_compress(data, legacy_kafka_hc=lz4_legacy_kafka_hc)
     return _zstd_module().ZstdCompressor(level=1).compress(data)
 
 
@@ -456,5 +464,7 @@ def decompress(codec: "int | str | None", data: bytes,
     if cid == CODEC_LZ4:
         return _lz4_decompress(data)
     z = _zstd_module()
-    return z.ZstdDecompressor().decompress(
-        data, max_output_size=expected_size or 0)
+    # decompressobj() handles frames WITHOUT an embedded content size —
+    # what streaming producers (zstd-jni ZstdOutputStream) emit; the plain
+    # one-shot decompress() would raise on those.
+    return z.ZstdDecompressor().decompressobj().decompress(data)

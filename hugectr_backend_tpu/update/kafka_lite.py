@@ -184,8 +184,12 @@ def encode_message_set(entries: "list[tuple[bytes | None, bytes]]",
         out += struct.pack(">q", -1) + struct.pack(">i", len(msg)) + msg
     if not cid:
         return out
+    # Magic-0 lz4 wrappers use the pre-KIP-57 'broken' header-checksum
+    # convention, which old brokers validate (compression.py).
+    packed = compression.compress(
+        cid, out, lz4_legacy_kafka_hc=(cid == compression.CODEC_LZ4))
     body = (struct.pack(">bb", 0, cid) + _enc_bytes(None)
-            + _enc_bytes(compression.compress(cid, out)))
+            + _enc_bytes(packed))
     msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
     return struct.pack(">q", -1) + struct.pack(">i", len(msg)) + msg
 
@@ -549,6 +553,35 @@ class KafkaClient:
     #    since 0.9; the reference consumes through librdkafka's full group
     #    consumer, doc:575-646) -------------------------------------------
 
+    #: (api, version) pairs the classic group protocol here requires.
+    _GROUP_APIS = ((_API_FIND_COORDINATOR, 0), (_API_JOIN_GROUP, 0),
+                   (_API_SYNC_GROUP, 0), (_API_HEARTBEAT, 0),
+                   (_API_LEAVE_GROUP, 0), (_API_OFFSET_COMMIT, 1),
+                   (_API_OFFSET_FETCH, 1))
+
+    def require_group_apis(self) -> None:
+        """Fail fast with an actionable error when the broker dropped the
+        classic group-protocol versions this client speaks (Kafka 4.0
+        removed them per KIP-896 alongside the v0 data-plane versions)."""
+        try:
+            vers = self.api_versions()
+        except (OSError, EOFError):
+            return  # pre-0.10 broker: v0 everywhere
+        bad = [
+            (api, v) for api, v in self._GROUP_APIS
+            if not (vers.get(api, (0, -1))[0] <= v
+                    <= vers.get(api, (0, -1))[1])
+        ]
+        if bad:
+            raise IOError(
+                "kafka broker does not accept the classic consumer-group "
+                f"protocol versions this client speaks ({bad} outside the "
+                "broker's supported ranges — Kafka 4.0 removed them, "
+                "KIP-896). Unset update_source.consumer_group_id (node-"
+                "local offsets; double-apply across nodes is harmless for "
+                "idempotent upserts) or consume through a <=3.x broker."
+            )
+
     def find_coordinator(self, group: str) -> "tuple[str, int]":
         r = self._roundtrip(_API_FIND_COORDINATOR, 0, _enc_str(group))
         err = r.i16()
@@ -558,7 +591,7 @@ class KafkaClient:
         return r.string(), r.i32()
 
     def join_group(self, group: str, member_id: str, topics: "list[str]",
-                   session_timeout_ms: int = 30_000):
+                   session_timeout_ms: int = 30_000, addr=None):
         """-> (generation, protocol, leader_id, member_id,
         members [(id, subscribed topics)]) — members only for the leader."""
         body = (
@@ -567,7 +600,7 @@ class KafkaClient:
             + struct.pack(">i", 1) + _enc_str("range")
             + _enc_bytes(encode_member_metadata(topics))
         )
-        r = self._roundtrip(_API_JOIN_GROUP, 0, body)
+        r = self._roundtrip(_API_JOIN_GROUP, 0, body, addr=addr)
         err = r.i16()
         if err:
             raise KafkaGroupError("JoinGroup", err)
@@ -582,7 +615,7 @@ class KafkaClient:
         return gen, proto, leader, mid, members
 
     def sync_group(self, group: str, generation: int, member_id: str,
-                   assignments: "list[tuple[str, dict]]"):
+                   assignments: "list[tuple[str, dict]]", addr=None):
         """Leader passes ``assignments`` [(member, {topic: [pids]})];
         followers pass []. -> this member's {topic: [pids]}."""
         body = (
@@ -593,47 +626,56 @@ class KafkaClient:
                 for m, a in assignments
             )
         )
-        r = self._roundtrip(_API_SYNC_GROUP, 0, body)
+        r = self._roundtrip(_API_SYNC_GROUP, 0, body, addr=addr)
         err = r.i16()
         if err:
             raise KafkaGroupError("SyncGroup", err)
         return decode_assignment(r.bytes_() or b"")
 
-    def heartbeat(self, group: str, generation: int, member_id: str) -> None:
+    def heartbeat(self, group: str, generation: int, member_id: str,
+                  addr=None) -> None:
         body = (_enc_str(group) + struct.pack(">i", generation)
                 + _enc_str(member_id))
-        r = self._roundtrip(_API_HEARTBEAT, 0, body)
+        r = self._roundtrip(_API_HEARTBEAT, 0, body, addr=addr)
         err = r.i16()
         if err:
             raise KafkaGroupError("Heartbeat", err)
 
-    def leave_group(self, group: str, member_id: str) -> None:
+    def leave_group(self, group: str, member_id: str, addr=None) -> None:
         r = self._roundtrip(_API_LEAVE_GROUP, 0,
-                            _enc_str(group) + _enc_str(member_id))
+                            _enc_str(group) + _enc_str(member_id),
+                            addr=addr)
         r.i16()  # best-effort
 
     def offset_commit(self, group: str,
-                      offsets: "dict[tuple[str, int], int]") -> None:
-        """OffsetCommit v0 (broker-stored since 0.9 via group coordinator)."""
+                      offsets: "dict[tuple[str, int], int]",
+                      generation: int = -1, member_id: str = "",
+                      addr=None) -> None:
+        """OffsetCommit v1: stored by the group coordinator (v0 wrote to
+        ZooKeeper on old brokers — mismatched with OffsetFetch v1) and
+        fenced by generation/member so a stale member's late commit cannot
+        clobber the new partition owner's offsets."""
         by_topic: dict[str, list] = {}
         for (topic, pid), off in offsets.items():
             by_topic.setdefault(topic, []).append((pid, off))
-        body = _enc_str(group) + struct.pack(">i", len(by_topic))
+        body = (_enc_str(group) + struct.pack(">i", generation)
+                + _enc_str(member_id) + struct.pack(">i", len(by_topic)))
         for topic, parts in by_topic.items():
             body += _enc_str(topic) + struct.pack(">i", len(parts))
             for pid, off in parts:
-                body += struct.pack(">iq", pid, off) + _enc_str("")
-        r = self._roundtrip(_API_OFFSET_COMMIT, 0, body)
+                body += (struct.pack(">iq", pid, off)
+                         + struct.pack(">q", -1) + _enc_str(""))
+        r = self._roundtrip(_API_OFFSET_COMMIT, 1, body, addr=addr)
         for _ in range(r.i32()):
             r.string()
             for _ in range(r.i32()):
                 r.i32()
                 err = r.i16()
                 if err:
-                    raise IOError(f"kafka OffsetCommit error {err}")
+                    raise KafkaGroupError("OffsetCommit", err)
 
     def offset_fetch(self, group: str,
-                     tps: "list[tuple[str, int]]"
+                     tps: "list[tuple[str, int]]", addr=None
                      ) -> "dict[tuple[str, int], int]":
         """OffsetFetch v1 (broker-stored offsets). Missing -> -1."""
         by_topic: dict[str, list] = {}
@@ -644,7 +686,7 @@ class KafkaClient:
             body += _enc_str(topic) + struct.pack(">i", len(pids))
             for pid in pids:
                 body += struct.pack(">i", pid)
-        r = self._roundtrip(_API_OFFSET_FETCH, 1, body)
+        r = self._roundtrip(_API_OFFSET_FETCH, 1, body, addr=addr)
         out = {}
         for _ in range(r.i32()):
             topic = r.string()
@@ -665,6 +707,8 @@ class KafkaGroupError(IOError):
     trigger a rejoin)."""
 
     REJOIN_CODES = (22, 25, 27)
+    #: coordinator moved / not yet available: re-find the coordinator.
+    COORD_CODES = (14, 15, 16)
 
     def __init__(self, api: str, code: int):
         super().__init__(f"kafka {api} error {code}")
@@ -783,6 +827,8 @@ class KafkaQueueSource(MessageProducer, MessageSource):
         self._generation = -1
         self._assignment: "Optional[dict[str, list[int]]]" = None
         self._subscribed: "tuple[str, ...]" = ()
+        self._coord: "Optional[tuple[str, int]]" = None
+        self._group_apis_checked = False
         self._compat_checked = False
         self._nparts: dict[str, int] = {}  # topic -> partition count (cached)
         # Offsets are per (topic, partition), persisted as "topic:pid" keys;
@@ -834,18 +880,33 @@ class KafkaQueueSource(MessageProducer, MessageSource):
 
     # -- consumer-group membership ----------------------------------------
 
+    def _coordinator(self, refresh: bool = False):
+        """Group requests route to the group COORDINATOR broker (hashed
+        from the group id on multi-broker clusters), not the bootstrap."""
+        if not self._group_apis_checked:
+            self.client.require_group_apis()
+            self._group_apis_checked = True
+        if self._coord is None or refresh:
+            host, port = self.client.find_coordinator(self.group_id)
+            self._coord = (host or self.client.bootstrap[0], port)
+        return self._coord
+
     def _rejoin(self, topics: "list[str]") -> None:
         """Join/sync until this member holds a valid assignment."""
         self._subscribed = tuple(sorted(topics))
+        coord = self._coordinator()
         for _ in range(10):
             try:
                 gen, _proto, leader, mid, members = self.client.join_group(
                     self.group_id, self._member_id, list(self._subscribed),
-                    self.session_timeout_ms,
+                    self.session_timeout_ms, addr=coord,
                 )
             except KafkaGroupError as e:
                 if e.code == 25:  # UNKNOWN_MEMBER_ID: start fresh
                     self._member_id = ""
+                    continue
+                if e.code in KafkaGroupError.COORD_CODES:
+                    coord = self._coordinator(refresh=True)
                     continue
                 raise
             self._member_id = mid
@@ -861,12 +922,26 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                 assignments = []
             try:
                 self._assignment = self.client.sync_group(
-                    self.group_id, gen, mid, assignments)
+                    self.group_id, gen, mid, assignments, addr=coord)
+                # Drop cached offsets for partitions no longer ours: a
+                # later commit() must not clobber the new owner's offsets
+                # (the broker also fences via generation, OffsetCommit v1).
+                mine = {
+                    (t, p)
+                    for t, pids in self._assignment.items() for p in pids
+                }
+                self._offsets = {
+                    tp_: off for tp_, off in self._offsets.items()
+                    if tp_ in mine
+                }
                 log.info("kafka group %s member %s gen %d assigned %s",
                          self.group_id, mid, gen, self._assignment)
                 return
             except KafkaGroupError as e:
                 if e.code in KafkaGroupError.REJOIN_CODES:
+                    continue
+                if e.code in KafkaGroupError.COORD_CODES:
+                    coord = self._coordinator(refresh=True)
                     continue
                 raise
         raise IOError(f"kafka group {self.group_id}: rejoin did not settle")
@@ -881,11 +956,16 @@ class KafkaQueueSource(MessageProducer, MessageSource):
         if not need_join:
             try:
                 self.client.heartbeat(self.group_id, self._generation,
-                                      self._member_id)
+                                      self._member_id,
+                                      addr=self._coordinator())
             except KafkaGroupError as e:
-                if e.code not in KafkaGroupError.REJOIN_CODES:
+                if e.code in KafkaGroupError.COORD_CODES:
+                    self._coordinator(refresh=True)
+                    need_join = True
+                elif e.code not in KafkaGroupError.REJOIN_CODES:
                     raise
-                need_join = True
+                else:
+                    need_join = True
         if need_join:
             self._rejoin(topics)
         return True
@@ -911,7 +991,8 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                 offset = self._offsets.get((topic, pid))
                 if offset is None and grouped:
                     committed = self.client.offset_fetch(
-                        self.group_id, [(topic, pid)]
+                        self.group_id, [(topic, pid)],
+                        addr=self._coordinator(),
                     ).get((topic, pid), -1)
                     if committed >= 0:
                         offset = committed
@@ -931,7 +1012,23 @@ class KafkaQueueSource(MessageProducer, MessageSource):
 
     def commit(self) -> None:
         if self.group_id is not None and self._offsets:
-            self.client.offset_commit(self.group_id, dict(self._offsets))
+            # Only CURRENTLY-ASSIGNED partitions: after a rebalance our
+            # cache may hold offsets for partitions another member now
+            # owns, and committing those would rewind its progress.
+            mine = {
+                (t, p)
+                for t, pids in (self._assignment or {}).items()
+                for p in pids
+            }
+            to_commit = {tp_: off for tp_, off in self._offsets.items()
+                         if tp_ in mine}
+            if to_commit:
+                self.client.offset_commit(
+                    self.group_id, to_commit,
+                    generation=self._generation,
+                    member_id=self._member_id,
+                    addr=self._coordinator(),
+                )
         if self._offsets_path is None:
             return
         tmp = self._offsets_path.with_suffix(".tmp")
@@ -943,7 +1040,8 @@ class KafkaQueueSource(MessageProducer, MessageSource):
     def close(self) -> None:
         if self.group_id is not None and self._member_id:
             try:
-                self.client.leave_group(self.group_id, self._member_id)
+                self.client.leave_group(self.group_id, self._member_id,
+                                        addr=self._coordinator())
             except (OSError, KafkaGroupError):
                 pass
         self.client.close()

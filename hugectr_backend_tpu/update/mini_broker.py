@@ -151,7 +151,7 @@ class MiniKafkaBroker:
     # ------------------------------------------------------------- handlers
 
     # Request versions each dialect accepts, per api key.
-    _GROUP_VERSIONS = {8: 0, 9: 1, 10: 0, 11: 0, 12: 0, 13: 0, 14: 0}
+    _GROUP_VERSIONS = {8: 1, 9: 1, 10: 0, 11: 0, 12: 0, 13: 0, 14: 0}
     _VERSIONS = {
         "v0": {0: 0, 1: 0, 2: 0, 3: 0, **_GROUP_VERSIONS},
         "v2": {0: 3, 1: 4, 2: 1, 3: 4, **_GROUP_VERSIONS},
@@ -193,7 +193,7 @@ class MiniKafkaBroker:
                     (12, 0, 4), (13, 0, 5), (14, 0, 5), (18, 0, 3)]
         else:
             apis = [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0),
-                    (8, 0, 0), (9, 0, 1), (10, 0, 0), (11, 0, 0),
+                    (8, 0, 1), (9, 0, 1), (10, 0, 0), (11, 0, 0),
                     (12, 0, 0), (13, 0, 0), (14, 0, 0), (18, 0, 0)]
         out = struct.pack(">hi", 0, len(apis))
         for api, lo, hi in apis:
@@ -548,7 +548,20 @@ class MiniKafkaBroker:
         return struct.pack(">h", 0)
 
     def _offset_commit(self, r: _Reader) -> bytes:
+        # v1: group | generation | member_id | topics[partition, offset,
+        # timestamp, metadata]. Generation fencing: a stale member's late
+        # commit (pre-rebalance generation) is rejected with 22 so it
+        # cannot rewind the new partition owner's progress.
         group = r.string()
+        generation = r.i32()
+        member_id = r.string()
+        with self._gcv:
+            g = self.groups.get(group)
+            fence = (
+                g is not None and generation >= 0
+                and (generation != g["generation"]
+                     or member_id not in g["members"])
+            )
         ntop = r.i32()
         out = struct.pack(">i", ntop)
         for _ in range(ntop):
@@ -558,7 +571,11 @@ class MiniKafkaBroker:
             for _ in range(nparts):
                 pid = r.i32()
                 off = r.i64()
+                r.i64()  # timestamp
                 r.string()  # metadata
+                if fence:
+                    out += struct.pack(">ih", pid, 22)  # ILLEGAL_GENERATION
+                    continue
                 with self._gcv:
                     self.group_offsets[(group, topic, pid)] = off
                 out += struct.pack(">ih", pid, 0)

@@ -261,3 +261,40 @@ def test_interaction_permutation_exact_logits(inputs):
     np.testing.assert_allclose(
         np.asarray(out_perm @ w[src]), np.asarray(out_orig @ w),
         rtol=1e-3, atol=1e-3)
+
+
+def test_part_major_phantom_blocks(inputs):
+    """Part-major maps with UNMAPPED trailing part rows — the production
+    layout when the lookup engine pow2-pads an arena group's block count
+    (serving/program.py _chunk_plan can yield nblk > mapped tables). The
+    _fm kernel must fetch only the mapped rows; a wholly-unmapped part
+    falls back to the fmap-addressed kernel."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        is_part_major,
+        part_major_order,
+    )
+
+    bot, emb = inputs
+    parts, fmap = _chunk(emb)
+    order, pm_fmap = part_major_order(fmap)
+    emb_perm = emb[:, np.asarray(order)]
+    want = _xla_reference(bot, emb_perm)
+    # Phantom TRAILING rows on every part (16-block arena vs 12 mapped).
+    padded = [jnp.pad(p, ((0, 3), (0, 0), (0, 0)), constant_values=9.9)
+              for p in parts]
+    got = fused_dot_interaction_parts(bot, padded, pm_fmap, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.12)
+    # Gradients: phantom rows get zero grad, mapped rows live grad.
+    g_bot, g_parts = jax.grad(
+        lambda b, ps: (fused_dot_interaction_parts(b, ps, pm_fmap, True)
+                       ** 2).sum(), argnums=(0, 1))(bot, padded)
+    for g, p in zip(g_parts, parts):
+        assert np.abs(np.asarray(g[p.shape[0]:])).max() == 0.0
+        assert np.abs(np.asarray(g[: p.shape[0]])).max() > 0.0
+    # A wholly-unmapped extra part (e.g. an excluded solo table).
+    extra = padded + [jnp.full((2, bot.shape[0], emb.shape[2]), 5.5)]
+    assert is_part_major(pm_fmap)
+    got2 = fused_dot_interaction_parts(bot, extra, pm_fmap, True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=0, atol=0.12)

@@ -629,3 +629,73 @@ def test_kafka_consumer_group_splits_partitions(tmp_path, dialect):
         prod.close()
     finally:
         broker.stop()
+
+
+def test_lz4_v0_wrapper_uses_legacy_header_checksum():
+    """Magic-0 lz4 wrapper messages must carry the pre-KIP-57 'broken'
+    header checksum (xxh32 over magic+FLG+BD) that legacy brokers
+    validate; standalone lz4 frames keep the spec checksum."""
+    import struct as _struct
+
+    from hugectr_backend_tpu.update import compression as C
+    from hugectr_backend_tpu.update.kafka_lite import (
+        decode_message_set,
+        encode_message_set,
+    )
+
+    data = b"update-payload " * 100
+    spec = C.compress("lz4", data)
+    legacy = C.compress("lz4", data, lz4_legacy_kafka_hc=True)
+    desc = spec[4:6]
+    assert spec[6] == (C.xxh32(desc) >> 8) & 0xFF
+    assert legacy[6] == (C.xxh32(legacy[:6]) >> 8) & 0xFF
+    assert spec[6] != legacy[6]  # genuinely different conventions here
+    assert C.decompress("lz4", legacy) == data  # we read either
+
+    ms = encode_message_set([(b"k", data)], codec="lz4")
+    # wrapper value starts after offset(8)+size(4)+crc(4)+magic/attrs(2)+
+    # null key(4) + value len(4)
+    frame = ms[8 + 4 + 4 + 2 + 4 + 4:]
+    (magic,) = _struct.unpack_from("<I", frame, 0)
+    assert magic == C._LZ4_MAGIC
+    assert frame[6] == (C.xxh32(frame[:6]) >> 8) & 0xFF  # legacy HC
+    got = decode_message_set(_struct.pack(">q", 0) + ms[8:])
+    assert got == [(0, b"k", data)]
+
+
+def test_offset_commit_generation_fencing():
+    """A stale member's late commit (pre-rebalance generation) is rejected
+    by the coordinator (OffsetCommit v1 fencing) instead of rewinding the
+    new partition owner's offsets."""
+    from hugectr_backend_tpu.update.kafka_lite import (
+        KafkaGroupError,
+        KafkaQueueSource,
+    )
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    broker = MiniKafkaBroker(num_partitions=2).start()
+    broker.rebalance_window_s = 0.2
+    try:
+        prod = KafkaQueueSource(f"127.0.0.1:{broker.port}")
+        keys = np.arange(4, dtype=np.int64)
+        vecs = np.ones((4, 4), np.float32)
+        prod.post("hps_et.m.t0", keys, vecs)
+
+        a = KafkaQueueSource(f"127.0.0.1:{broker.port}", group_id="g")
+        assert len(list(a.poll(10))) == 1
+        a.commit()
+        committed = dict(broker.group_offsets)
+        assert committed, "commit must store offsets"
+        # Fake a stale generation (as after a rebalance a missed): direct
+        # client-level commit with the OLD generation must be fenced.
+        with broker._gcv:
+            broker.groups["g"]["generation"] += 1
+        with pytest.raises(KafkaGroupError, match="error 22"):
+            a.client.offset_commit(
+                "g", {("hps_et.m.t0", 0): 0},
+                generation=a._generation, member_id=a._member_id)
+        assert broker.group_offsets == committed  # unchanged
+        a.close()
+        prod.close()
+    finally:
+        broker.stop()
