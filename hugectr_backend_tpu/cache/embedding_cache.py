@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 
 from hugectr_backend_tpu.config.params import EmbeddingCacheType, InferenceParams
-from hugectr_backend_tpu.tiers.hbm import DeviceTable, gather_dequant_xla
+from hugectr_backend_tpu.tiers.hbm import (
+    DeviceTable,
+    gather_dequant_xla,
+    scatter_rows,
+)
 from hugectr_backend_tpu.utils.logging import get_logger
 
 log = get_logger("hps_tpu.cache")
@@ -78,18 +82,17 @@ class _HitRateMeter:
         return float(self.rates[table_idx])
 
 
+#: jitted alias of the shared drop-mode scatter (tiers/hbm.py) for the
+#: eager miss-merge call site — one scatter contract, not two copies.
+_scatter_into = jax.jit(scatter_rows)
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     """Round up to the next power of two: bounds jit retraces per shape."""
     b = minimum
     while b < n:
         b *= 2
     return b
-
-
-@jax.jit
-def _scatter_rows(out, positions, rows):
-    """out[positions] = rows; out-of-range positions (padding) are dropped."""
-    return out.at[positions].set(rows, mode="drop")
 
 
 class EmbeddingCache:
@@ -431,7 +434,7 @@ class EmbeddingCache:
                     pos_padded[: fnd_pos.size] = start + fnd_pos
                     rows_padded = np.zeros((pb, self.tables[t].dim), np.float32)
                     rows_padded[: fnd_pos.size] = vecs[found]
-                    gouts[g] = _scatter_rows(
+                    gouts[g] = _scatter_into(
                         gouts[g], jnp.asarray(pos_padded), jnp.asarray(rows_padded)
                     )
                     self._on_miss_fetched(t, keys[miss_pos][found], vecs[found])
@@ -449,6 +452,16 @@ class EmbeddingCache:
         """Static cache: no online insert (reference static cache semantics)."""
         return
 
+    def shutdown(self):
+        """Stop worker threads this cache owns (refresh pool; subclasses add
+        their own). Called on model unload
+        (destroy_embedding_cache_per_model) so load/unload cycles do not
+        accumulate threads."""
+        pool = getattr(self, "_refresh_pool_", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._refresh_pool_ = None
+
     @property
     def _refresh_pool(self):
         """Refresher worker pool, sized by ``num_of_refresher_buffer_in_pool``
@@ -457,13 +470,21 @@ class EmbeddingCache:
         cache lock."""
         pool = getattr(self, "_refresh_pool_", None)
         if pool is None:
-            from concurrent.futures import ThreadPoolExecutor
+            # Double-checked under the cache lock: a refresh timer firing
+            # concurrently with a manual refresh must not each create a
+            # pool (the loser's workers would leak).
+            with self._lock:
+                pool = getattr(self, "_refresh_pool_", None)
+                if pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(
-                max_workers=max(self.params.num_of_refresher_buffer_in_pool, 1),
-                thread_name_prefix=f"hps-refresh-{self.params.model_name}",
-            )
-            self._refresh_pool_ = pool
+                    pool = ThreadPoolExecutor(
+                        max_workers=max(
+                            self.params.num_of_refresher_buffer_in_pool, 1),
+                        thread_name_prefix=(
+                            f"hps-refresh-{self.params.model_name}"),
+                    )
+                    self._refresh_pool_ = pool
         return pool
 
     def refresh(self, fraction: Optional[float] = None) -> int:
@@ -663,6 +684,13 @@ class DynamicEmbeddingCache(EmbeddingCache):
         prepared = self._prepare_rows(table_idx, vectors)
         with self._lock:
             slots, _evicted = self.slotmaps[table_idx].acquire(keys)
+            live = slots >= 0  # -1 = not insertable (zero-capacity map)
+            if not live.all():
+                if not live.any():
+                    return
+                q, s = prepared
+                prepared = (q[live], None if s is None else s[live])
+                slots = slots[live]
             self._apply_prepared(table_idx, slots, prepared)
 
     def _drain_loop(self):
@@ -750,6 +778,7 @@ class DynamicEmbeddingCache(EmbeddingCache):
         with self._pending_cv:
             self._stop_drainer = True
             self._pending_cv.notify_all()
+        super().shutdown()
 
 
 class UvmEmbeddingCache(DynamicEmbeddingCache):
@@ -774,8 +803,13 @@ class UvmEmbeddingCache(DynamicEmbeddingCache):
 
     def __init__(self, params, tables, device=None, tier_query=None):
         super().__init__(params, tables, device=device, tier_query=tier_query)
-        self._miss_counts: list[dict[int, int]] = [
-            {} for _ in range(len(self.tables))
+        # Miss counters as raw key fragments appended O(1) per request and
+        # reduced in bulk at refresh time — the cold-cache steady state is
+        # EVERY lookup reporting misses, so a per-key dict loop here would
+        # serialize concurrent requests on interpreter work (the
+        # CLAUDE.md/ROOFLINE §3b host-hot-path rule).
+        self._miss_frags: list[list[np.ndarray]] = [
+            [] for _ in range(len(self.tables))
         ]
         self._miss_lock = threading.Lock()
 
@@ -783,21 +817,21 @@ class UvmEmbeddingCache(DynamicEmbeddingCache):
         if keys.shape[0] == 0:
             return
         with self._miss_lock:
-            mc = self._miss_counts[table_idx]
-            for k in keys.tolist():
-                mc[k] = mc.get(k, 0) + 1
+            self._miss_frags[table_idx].append(keys.copy())
 
     def _refresh_table(self, t: int, frac: float) -> int:
         # Admit the hottest missed keys first (refill), then refresh the
         # resident window like the dynamic cache.
         with self._miss_lock:
-            mc = self._miss_counts[t]
-            hot = sorted(mc.items(), key=lambda kv: -kv[1])
-            self._miss_counts[t] = {}
-        if hot and self.tier_query is not None:
+            frags = self._miss_frags[t]
+            self._miss_frags[t] = []
+        if frags and self.tier_query is not None:
+            uniq, counts = np.unique(np.concatenate(frags),
+                                     return_counts=True)
+            hot = uniq[np.argsort(-counts, kind="stable")]
             cap = self.tables[t].capacity
             n_admit = max(int(cap * frac), 1) if frac < 1.0 else cap
-            admit_keys = np.asarray([k for k, _ in hot[:n_admit]], np.int64)
+            admit_keys = hot[:n_admit]
             vecs, found = self.tier_query(t, admit_keys)
             if found.any():
                 self._insert(t, admit_keys[found], vecs[found])
@@ -805,4 +839,7 @@ class UvmEmbeddingCache(DynamicEmbeddingCache):
 
     def pending_admissions(self, table_idx: int) -> int:
         with self._miss_lock:
-            return len(self._miss_counts[table_idx])
+            frags = self._miss_frags[table_idx]
+            if not frags:
+                return 0
+            return int(np.unique(np.concatenate(frags)).size)

@@ -55,6 +55,12 @@ class PySlotMap:
         keys = np.asarray(keys, np.int64).reshape(-1)
         slots = np.empty(keys.shape[0], np.int32)
         evicted = np.full(keys.shape[0], _KEMPTY, np.int64)
+        if self.capacity <= 0:
+            # Zero-capacity map: nothing can be inserted — every key is a
+            # non-insert at slot -1 (the native SlotMap does the same;
+            # without this, the LRU argmin ran on an empty selection).
+            slots.fill(-1)
+            return slots, evicted
         with self._lock:
             self._tick += 1
             for i, k in enumerate(keys.tolist()):

@@ -442,6 +442,17 @@ int64_t hps_slotmap_acquire(void* h, int64_t n, const int64_t* keys,
                             int32_t* out_slots, int64_t* out_evicted) {
   auto* m = static_cast<SlotMap*>(h);
   std::lock_guard<std::mutex> lock(m->mu);
+  if (m->capacity <= 0) {
+    // A zero-capacity map can satisfy nothing: report every key as a
+    // non-insert at slot -1 (callers treat it as a miss). Without this
+    // guard, evict_lru() on an empty map fabricated victim slot 0 and
+    // wrote past the zero-length arrays (heap corruption).
+    for (int64_t i = 0; i < n; ++i) {
+      out_slots[i] = -1;
+      out_evicted[i] = kEmpty;
+    }
+    return 0;
+  }
   ++m->tick;
   int64_t inserted = 0;
   for (int64_t i = 0; i < n; ++i) {

@@ -44,12 +44,22 @@ def _build_lib() -> None:
     )
 
 
+def _lib_stale() -> bool:
+    """True when any .cpp in the native dir is newer than the built .so —
+    loading a stale binary after a source edit can segfault on changed
+    struct layouts / missing guards."""
+    if not _LIB_PATH.exists():
+        return True
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return any(p.stat().st_mtime > so_mtime for p in _DIR.glob("*.cpp"))
+
+
 def load_lib() -> ctypes.CDLL:
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists():
+        if _lib_stale():
             _build_lib()
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.hps_kv_create.restype = ctypes.c_void_p

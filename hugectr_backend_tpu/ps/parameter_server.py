@@ -113,6 +113,10 @@ class HierParameterServer:
         # Raw (keys, vectors) kept per table while tiers don't cover them:
         # row geometry registry (dim per table tag).
         self._table_dims: dict[str, int] = {}
+        # Authoritative row count per table (from the last sparse-file
+        # load) — dynamic-cache capacity sizes from THIS, not from however
+        # many rows happen to be tier-resident at cache-build time.
+        self._table_rows: dict[str, int] = {}
         self._model_versions: dict[str, int] = {}
         self._lock = threading.Lock()
 
@@ -177,7 +181,19 @@ class HierParameterServer:
             dim = params.embedding_vecsize_per_table[t]
             tbl = read_sparse_model(path, embedding_dim=dim)
             self._table_dims[tag] = dim
+            self._table_rows[tag] = int(tbl.num_rows)
             self.dram.create_table(tag, dim)
+            # Version re-load: evict tier keys the NEW version dropped —
+            # otherwise a key removed in v(N+1) keeps serving v(N)'s vector
+            # through the tier-merge path forever (stale-model leakage).
+            stale = np.setdiff1d(self._tier_keys(tag), tbl.keys,
+                                 assume_unique=False)
+            if stale.size:
+                self.dram.evict(tag, stale)
+                if self.ssd is not None:
+                    self.ssd.evict(tag, stale)
+                log.info("evicted %d stale rows from %s on re-load",
+                         stale.size, tag)
             n_dram = int(tbl.num_rows * min(max(init_rate, 0.0), 1.0))
             if n_dram > 0:
                 self.dram.insert(tag, tbl.keys[:n_dram], tbl.vectors[:n_dram])
@@ -196,13 +212,15 @@ class HierParameterServer:
         with self._lock:
             per_device: dict[int, EmbeddingCache] = {}
             devices = jax.devices()
+            host_tables = self._prep_model_tables(params)
             for dev_id in params.deployed_devices:
                 if dev_id >= len(devices):
                     raise ConfigError(
                         f"deployed_device_list entry {dev_id} out of range; "
                         f"{len(devices)} devices visible"
                     )
-                per_device[dev_id] = self._build_cache(params, devices[dev_id])
+                per_device[dev_id] = self._build_cache(
+                    params, devices[dev_id], host_tables)
             self._caches[model_name] = per_device
             self._model_versions.setdefault(model_name, 1)
 
@@ -217,10 +235,15 @@ class HierParameterServer:
             params.quant_bits, "int8"
         )
 
-    def _build_cache(self, params: InferenceParams, device) -> EmbeddingCache:
-        from hugectr_backend_tpu.tiers.hbm import build_arena_views
+    #: capacity-reserve sentinel key base for dynamic caches — far outside
+    #: any practical trainer id space (kEmpty itself is INT64_MIN).
+    _RESERVE_KEY_BASE = np.iinfo(np.int64).min + 16
 
-        quant = self._quant_mode(params)
+    def _prep_model_tables(self, params: InferenceParams):
+        """Device-INDEPENDENT host prep for one model's tables: tier fetch
+        of resident rows (+ dynamic-cache capacity reserve). Hoisted out of
+        the per-device build so an N-device deployment pays the tier reads
+        and quantization once, not N times."""
 
         def prep_table(t: int):
             """Fetch one table's resident rows from the tiers (worker-pool
@@ -229,18 +252,45 @@ class HierParameterServer:
             tag = table_tag(params.model_name, params.table_name(t))
             all_keys = self._tier_keys(tag)
             frac = params.cache_size_percentage if params.use_gpu_embedding_cache else 1.0
+            frac = min(max(frac, 0.0), 1.0)
             if params.embedding_cache_type == EmbeddingCacheType.STATIC and frac >= 1.0:
                 n_resident = all_keys.shape[0]
             else:
-                n_resident = int(np.ceil(all_keys.shape[0] * min(max(frac, 0.0), 1.0)))
+                n_resident = int(np.ceil(all_keys.shape[0] * frac))
             resident_keys = all_keys[:n_resident]
+            dim = params.embedding_vecsize_per_table[t]
             if n_resident > 0:
                 vecs, found = self._query_tiers(tag, resident_keys)
                 if not found.all():  # skip two full-table copies when cold
                     resident_keys = resident_keys[found]
                     vecs = vecs[found]
             else:
-                vecs = np.zeros((0, params.embedding_vecsize_per_table[t]), np.float32)
+                vecs = np.zeros((0, dim), np.float32)
+            if (params.embedding_cache_type != EmbeddingCacheType.STATIC
+                    and params.use_gpu_embedding_cache):
+                # Dynamic/stochastic/UVM capacity contract: gpucacheper x
+                # TABLE rows — not "x rows tier-resident right now" (a
+                # partial initial_cache_rate or a streamed-resume start
+                # would permanently cap the hit rate otherwise). Missing
+                # capacity is reserved with sentinel-keyed default rows:
+                # sorted first, they fill the slotmap's LRU cold end and
+                # evict before any real key.
+                total_rows = max(self._table_rows.get(tag, 0),
+                                 all_keys.shape[0])
+                cap = max(int(np.ceil(total_rows * frac)),
+                          resident_keys.shape[0], 1)
+                pad = cap - resident_keys.shape[0]
+                if pad > 0:
+                    sentinels = self._RESERVE_KEY_BASE + np.arange(
+                        pad, dtype=np.int64)
+                    resident_keys = np.concatenate(
+                        [resident_keys, sentinels])
+                    vecs = np.concatenate([
+                        vecs,
+                        np.full((pad, dim),
+                                params.default_value_for_table(t),
+                                np.float32),
+                    ])
             return resident_keys, vecs
 
         from concurrent.futures import ThreadPoolExecutor
@@ -248,7 +298,15 @@ class HierParameterServer:
         with ThreadPoolExecutor(
             max_workers=min(max(params.num_of_worker_buffer_in_pool, 1), 8)
         ) as ex:
-            host_tables = list(ex.map(prep_table, range(params.num_tables)))
+            return list(ex.map(prep_table, range(params.num_tables)))
+
+    def _build_cache(self, params: InferenceParams, device,
+                     host_tables=None) -> EmbeddingCache:
+        from hugectr_backend_tpu.tiers.hbm import build_arena_views
+
+        quant = self._quant_mode(params)
+        if host_tables is None:
+            host_tables = self._prep_model_tables(params)
         defaults = [params.default_value_for_table(t) for t in range(params.num_tables)]
         dims = list(params.embedding_vecsize_per_table)
 
@@ -366,7 +424,13 @@ class HierParameterServer:
     def destroy_embedding_cache_per_model(self, model_name: str) -> None:
         """Reference model_state.cpp:111 (there spelled `destory_...`)."""
         with self._lock:
-            self._caches.pop(model_name, None)
+            per_device = self._caches.pop(model_name, None)
+        # Stop cache worker threads (async-insert drainer, refresh pool) —
+        # repeated load/unload cycles must not accumulate threads.
+        for cache in (per_device or {}).values():
+            shutdown = getattr(cache, "shutdown", None)
+            if shutdown is not None:
+                shutdown()
 
     # Reference API spelling kept as an alias for drop-in familiarity.
     destory_embedding_cache_per_model = destroy_embedding_cache_per_model

@@ -238,6 +238,30 @@ class _TableLog:
             rows[hit] = np.maximum(rows[hit], orows[pos_c[hit]])
         return rows
 
+    def delete(self, keys: np.ndarray) -> int:
+        """Drop keys from the index (their log records become dead and are
+        reclaimed by compaction). Persisted via the sidecar: a reopen does
+        not resurrect them (records before the watermark are never
+        rescanned). -> number of distinct keys removed."""
+        keys = np.asarray(keys, dtype=np.int64).reshape(-1)
+        if keys.size == 0:
+            return 0
+        with self.lock:
+            # Flush the overlay FIRST: the sidecar's watermark invariant is
+            # "persisted index covers every record below the watermark",
+            # and saving mid-overlay would silently drop live entries on
+            # the next reopen.
+            self._flush_overlay_locked()
+            before = self._ksorted.size
+            if before:
+                keep = ~np.isin(self._ksorted, keys)
+                self._ksorted = self._ksorted[keep]
+                self._krows = self._krows[keep]
+            removed = before - self._ksorted.size
+            if removed:
+                self._save_sidecar()
+        return int(removed)
+
     def query(self, keys: np.ndarray):
         keys = np.asarray(keys, dtype=np.int64).reshape(-1)
         out = np.zeros((keys.shape[0], self.dim), dtype=np.float32)
@@ -385,6 +409,9 @@ class SsdKVTier(KVTier):
 
     def query(self, tag: str, keys: np.ndarray):
         return self._logs[self._norm(tag)].query(keys)
+
+    def evict(self, tag: str, keys: np.ndarray) -> int:
+        return self._logs[self._norm(tag)].delete(keys)
 
     def size(self, tag: str) -> int:
         log = self._logs[self._norm(tag)]

@@ -252,3 +252,126 @@ def test_uvm_distinct_from_dynamic(tmp_path):
     finally:
         ps_uvm.shutdown()
         ps_dyn.shutdown()
+
+
+@pytest.mark.parametrize("cls", [PySlotMap, NativeSlotMap])
+def test_slotmap_zero_capacity_is_safe(cls):
+    """Zero-capacity slotmaps must refuse inserts (slot -1) instead of
+    corrupting memory (the native LRU eviction on an empty map fabricated
+    victim slot 0 and wrote past zero-length arrays)."""
+    sm = cls(0)
+    slots, ev = sm.acquire(np.array([1, 2, 3], np.int64))
+    assert (slots == -1).all()
+    assert (ev == KEMPTY).all()
+    assert sm.size() == 0
+    out = sm.translate(np.array([1], np.int64))
+    assert out[0] == sm.miss_slot if hasattr(sm, "miss_slot") else True
+
+
+def test_zero_gpucacheper_dynamic_serves_from_tiers(tmp_path):
+    """gpucacheper=0.0 on a dynamic cache: every lookup tier-merges, no
+    insert ever lands, and nothing crashes (previously armed a native
+    out-of-bounds write via the zero-capacity slotmap)."""
+    tbl = make_synthetic_table(300, 8, seed=7)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create({"models": [{
+        "model": "z", "sparse_files": [str(tmp_path / "t0")],
+        "embedding_vecsize_per_table": [8],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "gpucache": True, "gpucacheper": 0.0,
+        "embedding_cache_type": "dynamic", "quant_bits": 32,
+        "hit_rate_threshold": 1.1,  # force the sync-insert path
+    }]})
+    sess = LookupSession.create(ps.get_model_params("z"),
+                                ps.get_embedding_cache("z", 0))
+    q = tbl.keys[[1, 5, 9]]
+    for _ in range(3):  # repeated misses keep exercising the insert path
+        out = sess.lookup_numpy([q])[0]
+        np.testing.assert_allclose(out, expected_vector(q, 8), rtol=1e-6)
+
+
+def test_dynamic_capacity_sized_from_table_rows(tmp_path):
+    """Dynamic-cache capacity follows the documented contract
+    'gpucacheper x TABLE rows' even when only a fraction of the table is
+    tier-resident at build time (initial_cache_rate < 1, no persistent
+    DB) — previously capacity was frac x RESIDENT rows, permanently
+    capping the hit rate."""
+    tbl = make_synthetic_table(1000, 8, seed=13)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create({
+        "volatile_db": {"type": "hash_map", "initial_cache_rate": 0.1},
+        "persistent_db": {"type": "rocks_db", "path": ""},
+        "models": [{
+            "model": "cap", "sparse_files": [str(tmp_path / "t0")],
+            "embedding_vecsize_per_table": [8],
+            "maxnum_catfeature_query_per_table_per_sample": [4],
+            "gpucache": True, "gpucacheper": 0.5,
+            "embedding_cache_type": "dynamic", "quant_bits": 32,
+        }]})
+    cache = ps.get_embedding_cache("cap", 0)
+    # Contract: 0.5 * 1000 = 500 slots, despite only ~100 resident rows.
+    assert cache.tables[0].capacity == 500, cache.tables[0].capacity
+    # The reserved (sentinel) slots admit real keys on miss-insert.
+    sess = LookupSession.create(ps.get_model_params("cap"), cache)
+    q = tbl.keys[[500, 600, 700]]  # outside the warm 10%
+    out = sess.lookup_numpy([q])[0]
+    np.testing.assert_allclose(out, expected_vector(q, 8), rtol=1e-6)
+    # Second lookup hits the freshly inserted rows (slot translation).
+    assert (cache.slotmaps[0].translate(q, touch=False) >= 0).all()
+
+
+def test_destroy_cache_stops_worker_threads(tmp_path):
+    """destroy_embedding_cache_per_model must shut down the async-insert
+    drainer (previously leaked one blocked thread per unload cycle)."""
+    import threading
+
+    tbl = make_synthetic_table(200, 8, seed=3)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create({"models": [{
+        "model": "d", "sparse_files": [str(tmp_path / "t0")],
+        "embedding_vecsize_per_table": [8],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "gpucache": True, "gpucacheper": 0.5,
+        "embedding_cache_type": "dynamic", "quant_bits": 32,
+        "hit_rate_threshold": 0.0,  # async path: starts the drainer
+    }]})
+    sess = LookupSession.create(ps.get_model_params("d"),
+                                ps.get_embedding_cache("d", 0))
+    cache = ps.get_embedding_cache("d", 0)
+    sess.lookup_numpy([tbl.keys[[190, 191]]])  # miss -> async insert
+    deadline = time.time() + 5
+    while not cache._drainer_started and time.time() < deadline:
+        time.sleep(0.01)
+    assert cache._drainer.is_alive()
+    ps.destroy_embedding_cache_per_model("d")
+    cache._drainer.join(timeout=5)
+    assert not cache._drainer.is_alive()
+
+
+def test_reload_evicts_stale_keys(tmp_path):
+    """A version re-load must evict tier keys the new version dropped —
+    otherwise they keep serving the OLD version's vectors through the
+    tier-merge path (stale-model leakage)."""
+    tbl = make_synthetic_table(400, 8, seed=5)
+    write_sparse_model(tmp_path / "v1", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create({"models": [{
+        "model": "m", "sparse_files": [str(tmp_path / "v1")],
+        "embedding_vecsize_per_table": [8],
+        "maxnum_catfeature_query_per_table_per_sample": [4],
+        "gpucache": True, "gpucacheper": 1.0,
+        "embedding_cache_type": "dynamic", "quant_bits": 32,
+    }]})
+    from hugectr_backend_tpu.tiers.base import table_tag
+
+    tag = table_tag("m", "sparse_embedding0")
+    dropped = tbl.keys[300:]
+    # v2 drops the last 100 keys.
+    write_sparse_model(tmp_path / "v2", tbl.keys[:300], tbl.vectors[:300])
+    params = ps.get_model_params("m")
+    params.sparse_files = [str(tmp_path / "v2")]
+    ps.update_database_per_model(params)
+    vecs, found = ps.dram.query(tag, dropped)
+    assert not found.any(), "dropped keys must leave the DRAM tier"
+    # Kept keys still resolve.
+    _, found_kept = ps.dram.query(tag, tbl.keys[:10])
+    assert found_kept.all()
