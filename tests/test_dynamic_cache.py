@@ -300,7 +300,7 @@ def test_dynamic_capacity_sized_from_table_rows(tmp_path):
     write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
     ps = HierParameterServer.create({
         "volatile_db": {"type": "hash_map", "initial_cache_rate": 0.1},
-        "persistent_db": {"type": "rocks_db", "path": ""},
+        "persistent_db": {"type": "rocks_db", "path": str(tmp_path / "ssd")},
         "models": [{
             "model": "cap", "sparse_files": [str(tmp_path / "t0")],
             "embedding_vecsize_per_table": [8],
