@@ -117,12 +117,19 @@ class DenseModel:
 
     # ---------------------------------------------------------------- compute
 
-    def apply(self, x: jax.Array) -> jax.Array:
-        """Pure forward: reshape then dense layers. Safe to call inside jit."""
+    def apply(self, x: jax.Array, weights=None, scales=None) -> jax.Array:
+        """Pure forward: reshape then dense layers. Safe to call inside jit.
+
+        ``weights``/``scales`` default to this model's own; pass them
+        explicitly to keep them jit ARGUMENTS instead of embedded
+        compile-time constants (the fused ensemble does — large operands
+        as closure constants are a remote-compile hazard, CLAUDE.md)."""
+        weights = self.weights if weights is None else weights
+        scales = self.scales if scales is None else scales
         if self.reshape is not None:
             x = x.reshape(self.reshape)
         quant = self.spec.get("quant")
-        for i, ((w, b), layer) in enumerate(zip(self.weights, self.spec["layers"])):
+        for i, ((w, b), layer) in enumerate(zip(weights, self.spec["layers"])):
             if quant == "w8a8":
                 # Dynamic per-row activation int8 + s8xs8->s32 MXU pass (2x
                 # the bf16 rate on v5e); on TPU one Pallas pass with the
@@ -132,13 +139,13 @@ class DenseModel:
 
                 act = str(layer.get("activation", "identity")).lower()
                 act = None if act in ("identity", "linear", "none") else act
-                x = w8a8_dense(x.astype(jnp.float32), w, self.scales[i], b,
+                x = w8a8_dense(x.astype(jnp.float32), w, scales[i], b,
                                act)
                 continue
             elif quant:
                 # Weight-only dequant fuses into the bf16 MXU matmul; the
                 # f32 accumulate keeps additions exact.
-                wd = w.astype(jnp.bfloat16) * self.scales[i].astype(
+                wd = w.astype(jnp.bfloat16) * scales[i].astype(
                     jnp.bfloat16)[None, :]
                 x = jnp.dot(x.astype(jnp.bfloat16), wd,
                             preferred_element_type=jnp.float32) + b

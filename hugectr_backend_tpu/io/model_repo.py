@@ -381,7 +381,12 @@ def scan_repository(repo_dir) -> dict[str, RepoModel]:
 def _resolve_sparse_files(params: InferenceParams, vdir: Path) -> None:
     """Relative sparse_files/dense_file paths resolve against the model's
     version dir (the reference uses absolute paths into the version dir,
-    e.g. /model/wdl/1/wdl0_sparse_2000.model)."""
+    e.g. /model/wdl/1/wdl0_sparse_2000.model). The pre-resolution relative
+    paths and the model dir are recorded so a later version bump can
+    re-resolve against the NEW version dir
+    (:func:`switch_model_version`)."""
+    params.repo_model_dir = str(vdir.parent)
+    params.repo_rel_sparse_files = list(params.sparse_files)
     resolved = []
     for p in params.sparse_files:
         q = Path(p)
@@ -391,6 +396,36 @@ def _resolve_sparse_files(params: InferenceParams, vdir: Path) -> None:
         params.dense_file = str(vdir / params.dense_file)
     if params.network_file and not Path(params.network_file).is_absolute():
         params.network_file = str(vdir / params.network_file)
+
+
+def switch_model_version(params: InferenceParams, version: int) -> bool:
+    """Re-point a repository model's sparse files at ``<model>/<version>/``.
+
+    Returns True when the switch happened (the params came from a
+    repository scan and the version dir exists with every file). Without
+    this, a version bump through the load endpoint re-read the OLD
+    version's files while reporting the new version number.
+    """
+    base = getattr(params, "repo_model_dir", None)
+    rels = getattr(params, "repo_rel_sparse_files", None)
+    if not base or rels is None:
+        return False
+    vdir = Path(base) / str(int(version))
+    if not vdir.is_dir():
+        return False
+    resolved = []
+    for p in rels:
+        q = Path(p)
+        r = q if q.is_absolute() else vdir / q
+        if not q.is_absolute() and not r.exists():
+            log.warning(
+                "version %s of %s is missing %s; keeping current files",
+                version, Path(base).name, q,
+            )
+            return False
+        resolved.append(str(r))
+    params.sparse_files = resolved
+    return True
 
 
 @dataclasses.dataclass

@@ -142,13 +142,26 @@ def _check_local(path: str | os.PathLike) -> Path:
     return Path(s)
 
 
+def _reject_remote_write(path) -> None:
+    s = str(path)
+    for p in _REMOTE_PREFIXES:
+        if s.startswith(p):
+            raise ValueError(
+                f"cannot write a sparse model to remote URI {s!r}: writes "
+                "would land in the local fetch cache and never upload "
+                "(remote prefixes are read-only here). Write locally and "
+                "upload with your object-store tooling."
+            )
+
+
 def write_sparse_model(
     table_dir: str | os.PathLike,
     keys: np.ndarray,
     vectors: np.ndarray,
 ) -> None:
     """Write a table in the reference's binary format (docs/architecture.md:185-218)."""
-    d = _check_local(table_dir)
+    _reject_remote_write(table_dir)
+    d = Path(table_dir)
     d.mkdir(parents=True, exist_ok=True)
     keys = np.ascontiguousarray(np.asarray(keys, dtype="<i8"))
     vectors = np.ascontiguousarray(np.asarray(vectors, dtype="<f4"))
@@ -225,7 +238,8 @@ def write_quantized_sidecar(
     if fmt not in _SIDECAR_FMT:
         raise ValueError(f"unknown sidecar format {fmt!r}")
     fname, dtype, div = _SIDECAR_FMT[fmt]
-    d = _check_local(table_dir)
+    _reject_remote_write(table_dir)
+    d = Path(table_dir)
     d.mkdir(parents=True, exist_ok=True)
     qvalues = np.ascontiguousarray(qvalues)
     scales = np.ascontiguousarray(np.asarray(scales, dtype="<f4")).reshape(-1)

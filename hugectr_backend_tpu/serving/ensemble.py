@@ -222,31 +222,33 @@ class EnsembleServer:
         if rs is None or len(rs) != 2 or rs[0] != -1 or rs[1] <= 0 or (k * d) % rs[1]:
             return  # padding would not stay a clean row prefix
         dev = params.deployed_devices[0]
-        cache = self.manager.ps.get_embedding_cache(sparse.model_name, dev)
-
-        acts = [
-            str(layer.get("activation", "identity")).lower()
-            for layer in dm.spec["layers"]
-        ]
 
         @functools.partial(jax.jit, static_argnames=("b_pad",))
-        def fused(weights, values, scales, slots, b_pad):
-            from hugectr_backend_tpu.io.dense_model import _ACTIVATIONS
-
+        def fused(dweights, dscales, values, scales, slots, b_pad):
             flat = gather_dequant_xla(values, scales, slots)  # [b_pad*k, d]
-            x = flat.reshape(b_pad * ((k * d) // rs[1]), rs[1])
-            for (w, bias), act in zip(weights, acts):
-                x = _ACTIVATIONS[act](x @ w + bias)
-            return x
+            # DenseModel.apply owns the layer semantics (reshape +
+            # activations AND the quantized kernels — int8/fp8 weight-only
+            # dequant, w8a8; a re-implemented `x @ w + b` loop here
+            # silently skipped the dequant scales for quantized dense
+            # models). Weights/scales ride as jit ARGUMENTS.
+            return dm.apply(flat, weights=dweights, scales=dscales)
 
-        self._fused = (fused, cache, params, k, d, rs[1], sparse, dense_step)
+        self._fused = (fused, dev, params, k, d, rs[1], sparse, dense_step)
         log.info(
             "ensemble %s: fused %s -> %s into one XLA program",
             self.spec.name, sparse.model_name, dense_step.model_name,
         )
 
     def _run_fused(self, tensors: dict[str, np.ndarray]) -> Optional[dict]:
-        fused, cache, params, k, d, f, sparse, dense_step = self._fused
+        fused, dev, params, k, d, f, sparse, dense_step = self._fused
+        # Fetch the LIVE cache every call: unload destroys it and a reload
+        # creates a new object — a cache captured at build time would keep
+        # serving the previous version's embeddings forever.
+        try:
+            cache = self.manager.ps.get_embedding_cache(
+                sparse.model_name, dev)
+        except KeyError:
+            return None  # not loaded: the staged path raises the real error
         keys_name = sparse.input_map.get("KEYS")
         num_name = sparse.input_map.get("NUMKEYS")
         if keys_name not in tensors or num_name not in tensors:
@@ -271,7 +273,8 @@ class EnsembleServer:
             slots[: b * k] = cache.translate(0, keys).astype(np.int32)
             values, scales = table.values, table.scales
         dm = self.dense[dense_step.model_name]
-        y = fused(dm.weights, values, scales, jnp.asarray(slots), b_pad=b_pad)
+        y = fused(dm.weights, dm.scales, values, scales, jnp.asarray(slots),
+                  b_pad=b_pad)
         rows_per_sample = (k * d) // f
         out = np.asarray(y[: b * rows_per_sample])
         cache.hit_meter.update(0, b * k - int((slots[: b * k] == table.index.miss_slot).sum()), b * k)

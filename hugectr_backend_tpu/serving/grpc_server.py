@@ -24,6 +24,7 @@ from typing import Optional
 
 import numpy as np
 
+from hugectr_backend_tpu.config.params import ConfigError
 from hugectr_backend_tpu.serving import metrics
 from hugectr_backend_tpu.serving.model_manager import ModelManager
 from hugectr_backend_tpu.serving.scheduler import RequestError
@@ -181,7 +182,9 @@ class KServeGrpcService:
                     version = p.string_param
         try:
             self.manager.load(request.model_name, version=version)
-        except KeyError as e:
+        except (KeyError, ConfigError) as e:
+            # ConfigError = unknown model in the PS config: NOT_FOUND, not
+            # an internal fault.
             import grpc
 
             context.abort(grpc.StatusCode.NOT_FOUND, str(e))
@@ -218,6 +221,11 @@ class KServeGrpcService:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
 
         t0 = time.perf_counter()
+        # HPS models are batcher-backed and the batcher already records
+        # REQUEST_COUNT/LATENCY/FAIL per request — counting here again
+        # doubled gRPC traffic's stats vs HTTP's. Ensembles and dense
+        # models bypass the batcher, so this handler owns their metrics.
+        tracked = name in self.ensembles or name in self.dense_models
         try:
             if name in self.ensembles:
                 outputs = self.ensembles[name].infer(inputs)
@@ -260,12 +268,15 @@ class KServeGrpcService:
                     "DeviceID": pb2.InferParameter(int64_param=resp.device_id),
                 }
         except RequestError as e:
-            metrics.REQUEST_FAIL.inc(model=name)
+            if tracked:
+                metrics.REQUEST_FAIL.inc(model=name)
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
         except KeyError as e:
             context.abort(grpc.StatusCode.NOT_FOUND, str(e))
-        metrics.REQUEST_COUNT.inc(model=name)
-        metrics.REQUEST_LATENCY.observe(time.perf_counter() - t0, model=name)
+        if tracked:
+            metrics.REQUEST_COUNT.inc(model=name)
+            metrics.REQUEST_LATENCY.observe(
+                time.perf_counter() - t0, model=name)
 
         out_tensors, out_raws = [], []
         for oname, arr in outputs.items():

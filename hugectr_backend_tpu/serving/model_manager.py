@@ -76,12 +76,24 @@ class ModelManager:
             prev = self._models.get(model_name)
             prev_version = prev.version if prev else self.ps.get_model_version(model_name)
             new_version = version if version is not None else (prev_version or 1)
-            version_changed = prev is not None and new_version != prev_version
+            # The PS's version map persists across unload, so an
+            # unload -> load(new version) redeploy still re-parses the
+            # tiers (previously `prev is not None` gated the re-parse and
+            # the sequence silently served the old weights as the new
+            # version).
+            version_changed = bool(prev_version) and new_version != prev_version
 
             if prev is None or version_changed:
                 if version_changed:
                     # Online redeploy: re-load tiers for the new version
                     # (reference hps.cc:207-219 re-parses the PS on version change).
+                    # Repository models re-point their file paths at the
+                    # requested version dir first (no-op otherwise).
+                    from hugectr_backend_tpu.io.model_repo import (
+                        switch_model_version,
+                    )
+
+                    switch_model_version(params, new_version)
                     self.ps.update_database_per_model(params)
                 if model_name not in self.ps._caches:
                     self.ps.create_embedding_cache_per_model(model_name)

@@ -32,6 +32,7 @@ from typing import Optional
 
 import numpy as np
 
+from hugectr_backend_tpu.config.params import ConfigError
 from hugectr_backend_tpu.serving import metrics
 from hugectr_backend_tpu.serving.model_manager import ModelManager
 from hugectr_backend_tpu.serving.scheduler import RequestError
@@ -298,6 +299,16 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                     except json.JSONDecodeError:
                         pass
+                if isinstance(version, str):
+                    # Coerce numeric strings so "2" == 2 in the
+                    # version-change comparison (a str-vs-int mismatch
+                    # would spuriously re-parse tiers and store a
+                    # str-typed version) — same hazard the gRPC handler
+                    # guards.
+                    try:
+                        version = int(version)
+                    except ValueError:
+                        pass
                 if parts[4] == "load":
                     self.manager.load(name, version=version)
                 else:
@@ -307,6 +318,10 @@ class _Handler(BaseHTTPRequestHandler):
         except RequestError as e:
             return self._error(400, str(e))
         except KeyError as e:
+            return self._error(404, str(e))
+        except ConfigError as e:
+            # get_model_params raises ConfigError for unknown models — a
+            # client addressing error, not a server fault.
             return self._error(404, str(e))
         except Exception as e:  # pragma: no cover
             log.exception("POST failed")
@@ -476,13 +491,18 @@ class _Handler(BaseHTTPRequestHandler):
                     break
                 offset += other.get("parameters", {}).get("binary_data_size", 0)
             buf = raw_tail[offset : offset + bsize]
-            # Wire layout follows the tensor's DECLARED datatype.
+            # Wire layout follows the tensor's DECLARED datatype; an
+            # omitted datatype defaults to the contract type, same as the
+            # validation above (defaulting to "" made a valid request fail
+            # with a confusing 'unsupported binary datatype None').
+            declared_dt = t.get("datatype", want)
             wire = {
                 "INT64": "<i8", "INT32": "<i4", "INT16": "<i2", "INT8": "<i1",
                 "UINT32": "<u4", "FP32": "<f4", "FP64": "<f8",
-            }.get(t.get("datatype", ""), None)
+            }.get(declared_dt, None)
             if wire is None:
-                raise ValueError(f"unsupported binary datatype {t.get('datatype')}")
+                raise ValueError(
+                    f"unsupported binary datatype {declared_dt!r}")
             return np.frombuffer(buf, dtype=wire).astype(dtype)
 
         try:

@@ -382,8 +382,17 @@ class ClusterKVTier(KVTier):
         self._dims.pop(tag, None)
 
     def tables(self) -> "list[str]":
-        raw = self._nodes[0].call(OP_TABLES, "")
-        return [t for t in raw.decode().split("\n") if t]
+        # Union over EVERY node: after one node restarts blank, the others
+        # still hold their shards — reporting only node 0's view made
+        # query() short-circuit to all-miss for tables the pool still has.
+        names: set = set()
+        for node in self._nodes:
+            try:
+                raw = node.call(OP_TABLES, "")
+            except OSError:
+                continue
+            names.update(t for t in raw.decode().split("\n") if t)
+        return sorted(names)
 
     def insert(self, tag: str, keys: np.ndarray, vectors: np.ndarray) -> int:
         keys = np.asarray(keys, np.int64).reshape(-1)

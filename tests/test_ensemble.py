@@ -96,7 +96,8 @@ def _np_mlp(weights, x):
     return 1.0 / (1.0 + np.exp(-(h @ w1 + b1)))
 
 
-def _build_repo(tmp_path, rng, rows=3000, gpucacheper=1.0, cache_type="static"):
+def _build_repo(tmp_path, rng, rows=3000, gpucacheper=1.0,
+                cache_type="static", dense_quant=None):
     # hps model
     mdir = tmp_path / "hps_embedding"
     mdir.mkdir()
@@ -110,7 +111,7 @@ def _build_repo(tmp_path, rng, rows=3000, gpucacheper=1.0, cache_type="static"):
     weights = _mlp_weights(rng)
     save_dense_model(
         ddir / "1", weights, ["relu", "sigmoid"],
-        reshape=[-1, DIM * KEYS_PER_SAMPLE],
+        reshape=[-1, DIM * KEYS_PER_SAMPLE], quant=dense_quant,
     )
     # ensemble
     edir = tmp_path / "ensemble_model"
@@ -399,3 +400,59 @@ def test_server_boot_from_repo_with_ensemble(tmp_path, rng):
         urllib.request.urlopen(f"{base}/v2/models/ensemble_model/ready")
     finally:
         server.stop()
+
+
+@pytest.mark.parametrize("fmt", ["int8", "fp8", "w8a8"])
+def test_ensemble_fused_quantized_dense_matches_staged(tmp_path, rng, fmt):
+    """The fused ensemble must apply the dense model's DEQUANT semantics —
+    round 4's review found it multiplying raw int8/fp8 kernels without
+    scales (silently wrong outputs); it now reuses DenseModel.apply."""
+    tbl, weights = _build_repo(tmp_path, rng, dense_quant=fmt)
+    bundle, mgr, ensembles = _serve_bundle(tmp_path)
+    try:
+        es = ensembles["ensemble_model"]
+        b = 5
+        keys = tbl.keys[: b * KEYS_PER_SAMPLE].astype(np.int64)
+        inputs = {
+            "EMB_KEY": keys,
+            "EMB_N_KEY": np.asarray([b * KEYS_PER_SAMPLE], np.int32),
+        }
+        out = es.infer(inputs)["DENSE_OUTPUT"]
+        assert es._fused is not None  # fused path engaged
+        staged = es.infer_staged(dict(inputs))["DENSE_OUTPUT"]
+        np.testing.assert_allclose(
+            out, staged.reshape(out.shape), rtol=2e-2, atol=2e-2)
+        # And both sit near the fp32 ground truth (quantization tolerance).
+        x = expected_vector(keys, DIM).reshape(b, DIM * KEYS_PER_SAMPLE)
+        want = _np_mlp(weights, x)
+        np.testing.assert_allclose(out, want, rtol=0.1, atol=0.05)
+
+
+    finally:
+        mgr.shutdown()
+
+
+def test_ensemble_fused_tracks_reload(tmp_path, rng):
+    """After unload the fused path must NOT keep serving the destroyed
+    cache's embeddings (it previously captured the cache object at first
+    build and never refreshed it)."""
+    tbl, weights = _build_repo(tmp_path, rng)
+    bundle, mgr, ensembles = _serve_bundle(tmp_path)
+    try:
+        es = ensembles["ensemble_model"]
+        b = 3
+        keys = tbl.keys[: b * KEYS_PER_SAMPLE].astype(np.int64)
+        inputs = {
+            "EMB_KEY": keys,
+            "EMB_N_KEY": np.asarray([b * KEYS_PER_SAMPLE], np.int32),
+        }
+        out1 = es.infer(inputs)["DENSE_OUTPUT"]
+        assert es._fused is not None
+        mgr.unload("hps_embedding")
+        with pytest.raises(Exception):
+            es.infer(dict(inputs))  # staged path reports not-loaded
+        mgr.load("hps_embedding")
+        out2 = es.infer(dict(inputs))["DENSE_OUTPUT"]
+        np.testing.assert_allclose(out2, out1, rtol=1e-5)
+    finally:
+        mgr.shutdown()

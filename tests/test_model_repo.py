@@ -210,3 +210,51 @@ def test_serve_from_triton_repository(tmp_path):
         np.testing.assert_allclose(got, expected_vector(keys, 16), rtol=1e-5)
     finally:
         mgr.shutdown()
+
+
+def test_version_bump_rereads_new_version_files(tmp_path):
+    """A repository version bump through load(version=N) must re-read the
+    NEW version dir's sparse files (previously the paths stayed pinned to
+    the startup-latest dir, serving old weights under the new version
+    number) — and an unload -> load(new version) sequence must also
+    trigger the re-parse (previously gated on the model being loaded)."""
+    tbl = _make_repo(tmp_path, versions=(1,), dim=16)
+    cfg, versions = load_model_repository(tmp_path)
+    mgr = ModelManager.create(cfg, load_all=False)
+    try:
+        mgr.load("wdl", version=1)
+        keys = tbl.keys[:4].astype(np.int64)
+        got1 = np.asarray(mgr.infer("wdl", keys, np.asarray([4], np.int64))
+                          .output).reshape(4, 16)
+        np.testing.assert_allclose(got1, expected_vector(keys, 16),
+                                   rtol=1e-5)
+        # Version 2 appears AFTER startup with different vectors.
+        write_sparse_model(tmp_path / "wdl" / "2" / "sparse0.model",
+                           tbl.keys, tbl.vectors * 3.0)
+        mgr.load("wdl", version=2)
+        # The version bump re-parses the TIERS synchronously; the HBM cache
+        # catches up on the (scheduled) refresh cycle — drive it here.
+        mgr.ps.get_embedding_cache("wdl", 0).refresh(fraction=1.0)
+        got2 = np.asarray(mgr.infer("wdl", keys, np.asarray([4], np.int64))
+                          .output).reshape(4, 16)
+        np.testing.assert_allclose(got2, 3.0 * expected_vector(keys, 16),
+                                   rtol=1e-5)
+        # unload -> load(newer version): the tier re-parse must still fire.
+        write_sparse_model(tmp_path / "wdl" / "5" / "sparse0.model",
+                           tbl.keys, tbl.vectors * 5.0)
+        mgr.unload("wdl")
+        mgr.load("wdl", version=5)
+        got5 = np.asarray(mgr.infer("wdl", keys, np.asarray([4], np.int64))
+                          .output).reshape(4, 16)
+        np.testing.assert_allclose(got5, 5.0 * expected_vector(keys, 16),
+                                   rtol=1e-5)
+    finally:
+        mgr.shutdown()
+
+
+def test_write_sparse_model_rejects_remote_uri(tmp_path):
+    """Writes to remote URIs must fail loudly — they previously landed in
+    the local fetch cache and were silently lost."""
+    tbl = make_synthetic_table(10, 4, seed=1)
+    with pytest.raises(ValueError, match="remote URI"):
+        write_sparse_model("s3://bucket/table", tbl.keys, tbl.vectors)
