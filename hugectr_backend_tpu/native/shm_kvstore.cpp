@@ -30,12 +30,15 @@
 //
 // Limitation: key INT64_MIN is reserved as the freed-row marker.
 
+#include <algorithm>
 #include <atomic>
 #include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <random>
+#include <utility>
+#include <vector>
 
 #include <fcntl.h>
 #include <pthread.h>
@@ -182,31 +185,43 @@ void evict_partition(Store* st, uint32_t p, const PartView& v) {
       static_cast<uint64_t>(h->resolution_target * double(h->cap_per_part));
   if (target >= h->counts[p]) target = h->counts[p] ? h->counts[p] - 1 : 0;
   std::mt19937_64 rng(h->ticks[p] + p);
-  while (h->counts[p] > target) {
-    uint32_t victim = kNoRow;
-    if (h->policy == 0 && wm) {  // evict_random
-      for (int tries = 0; tries < 64 && victim == kNoRow; ++tries) {
-        uint32_t r = static_cast<uint32_t>(rng() % wm);
-        if (row_in_use(v, r)) victim = r;
-      }
-    }
-    if (victim == kNoRow) {  // least-used / oldest / random fallback
-      uint64_t best = UINT64_MAX;
-      const uint64_t* score = (h->policy == 2) ? v.inserted : v.last_used;
-      for (uint64_t r = 0; r < wm; ++r) {
-        if (row_in_use(v, r) && score[r] < best) {
-          best = score[r];
-          victim = static_cast<uint32_t>(r);
-        }
-      }
-    }
-    if (victim == kNoRow) return;
+  auto evict_row = [&](uint32_t victim) {
     uint64_t s = probe(v, mask, v.row_key[victim]);
     if (occupied_match(v, s, v.row_key[victim])) erase_slot(v, mask, s);
     v.row_key[victim] = kFreed;
     v.free_rows[h->free_tops[p]++] = victim;
     h->counts[p]--;
+  };
+  if (h->policy == 0 && wm) {  // evict_random: sampled probes
+    int stuck = 0;
+    while (h->counts[p] > target) {
+      uint32_t r = static_cast<uint32_t>(rng() % wm);
+      if (row_in_use(v, r)) {
+        evict_row(r);
+        stuck = 0;
+      } else if (++stuck > 256) {
+        break;  // pathological occupancy: fall through to the batch path
+      }
+    }
+    if (h->counts[p] <= target) return;
   }
+  // least-used / oldest (and the random fallback): ONE pass collecting
+  // (score, row), then a partial sort selecting the whole eviction batch.
+  // The previous per-victim full scan made one overflow insert
+  // O(cap * n_evict) inside the partition WRITE lock, stalling every
+  // co-hosted serving process's queries for the duration.
+  if (h->counts[p] <= target) return;
+  const uint64_t n_evict = h->counts[p] - target;
+  const uint64_t* score = (h->policy == 2) ? v.inserted : v.last_used;
+  std::vector<std::pair<uint64_t, uint32_t>> cand;
+  cand.reserve(h->counts[p]);
+  for (uint64_t r = 0; r < wm; ++r) {
+    if (row_in_use(v, r))
+      cand.emplace_back(score[r], static_cast<uint32_t>(r));
+  }
+  const size_t k = std::min<size_t>(n_evict, cand.size());
+  std::nth_element(cand.begin(), cand.begin() + k, cand.end());
+  for (size_t i = 0; i < k; ++i) evict_row(cand[i].second);
 }
 
 }  // namespace

@@ -119,7 +119,11 @@ class ShardedFusedServer:
         )
 
 
-def make_sharded_dcn_server(mesh, tables, keys_per_sample, model, model_params):
+def make_sharded_stacked_server(mesh, tables, keys_per_sample, model,
+                                model_params):
+    """Fused sharded serving for any model consuming the per-table
+    embeddings stacked on the feature axis (DLRM, DCN-v2, xDeepFM, ...)."""
+
     def assemble(dense, embs):
         emb = jnp.concatenate(embs, axis=1)
         return model.apply(model_params, dense, emb)
@@ -127,9 +131,6 @@ def make_sharded_dcn_server(mesh, tables, keys_per_sample, model, model_params):
     return ShardedFusedServer(mesh, tables, keys_per_sample, assemble)
 
 
-def make_sharded_dlrm_server(mesh, tables, keys_per_sample, model, model_params):
-    def assemble(dense, embs):
-        emb = jnp.concatenate(embs, axis=1)
-        return model.apply(model_params, dense, emb)
-
-    return ShardedFusedServer(mesh, tables, keys_per_sample, assemble)
+# Model-family aliases (identical assembly; kept for call-site clarity).
+make_sharded_dcn_server = make_sharded_stacked_server
+make_sharded_dlrm_server = make_sharded_stacked_server

@@ -67,6 +67,10 @@ def pooled_lookup(
     hold any value; they are masked out (and unknown keys hit the default
     row anyway, preserving reference miss semantics).
     """
+    if mode not in ("sum", "mean"):
+        # An unknown mode must not silently pool as "sum" — numerically
+        # plausible wrong embeddings would flow into the dense net.
+        raise ValueError(f"unknown pooling mode {mode!r} (want sum|mean)")
     keys = np.asarray(keys, dtype=np.int64)
     if keys.ndim != 2:
         raise ValueError(f"keys must be [batch, max_len], got {keys.shape}")

@@ -119,6 +119,16 @@ class DramKVTier(KVTier):
         return written
 
     def _insert_partition(self, part: _Partition, lock, keys, vectors) -> int:
+        # Dedup within the batch (LAST occurrence wins, like the native
+        # store's per-key probe): resolving rows for the whole batch before
+        # inserting would give a twice-new key TWO arena rows but one kv
+        # entry — the orphan row later KeyErrors eviction and inflates
+        # size() forever. Update streams routinely repeat keys per batch.
+        if len(keys) > 1:
+            _, first = np.unique(keys[::-1], return_index=True)
+            if first.size != len(keys):
+                sel = len(keys) - 1 - first
+                keys, vectors = keys[sel], vectors[sel]
         with lock:
             part.tick += 1
             tick = part.tick
@@ -155,7 +165,11 @@ class DramKVTier(KVTier):
         if n_evict <= 0:
             return
         policy = self.params.overflow_policy
-        if policy == DatabaseOverflowPolicy.EVICT_RANDOM:
+        if n_evict >= part.count:
+            # Tiny per-partition margins can demand evicting EVERYTHING —
+            # argpartition(kth=n) would raise there.
+            victims = np.arange(part.count)
+        elif policy == DatabaseOverflowPolicy.EVICT_RANDOM:
             victims = np.random.default_rng(part.tick).choice(
                 part.count, size=n_evict, replace=False
             )
@@ -231,8 +245,11 @@ class DramKVTier(KVTier):
 
     def keys(self, tag: str) -> np.ndarray:
         chunks = []
-        for p in self._tables[tag]:
-            chunks.append(np.fromiter(p.kv.keys(), dtype=np.int64, count=len(p.kv)))
+        for p, lock in zip(self._tables[tag], self._locks[tag]):
+            with lock:  # a concurrent insert/evict mutates kv mid-iteration
+                chunks.append(
+                    np.fromiter(p.kv.keys(), dtype=np.int64, count=len(p.kv))
+                )
         return np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
 
 

@@ -93,16 +93,25 @@ class FileQueueSource(MessageProducer, MessageSource):
             tmp_meta = d / ".meta.tmp"
             tmp_meta.write_text(json.dumps({"dim": int(vectors.shape[1])}))
             os.replace(tmp_meta, meta)
+        payload = (np.int64(keys.shape[0]).tobytes() + keys.tobytes()
+                   + vectors.tobytes())
         with self._lock:
+            # Multi-PROCESS safe sequencing: the in-process lock only
+            # serializes threads, so claim the sequence number with an
+            # atomic hard link — two producer processes racing the same
+            # seq cannot silently overwrite each other (link fails with
+            # EEXIST and the loser retries the next number).
+            tmp = d / f".{os.getpid()}-{threading.get_ident()}.tmp"
+            tmp.write_bytes(payload)
             existing = sorted(p.name for p in d.glob("*.upd"))
             seq = int(existing[-1].split(".")[0]) + 1 if existing else 0
-            tmp = d / f".{seq:012d}.tmp"
-            tmp.write_bytes(
-                np.int64(keys.shape[0]).tobytes()
-                + keys.tobytes()
-                + vectors.tobytes()
-            )
-            os.replace(tmp, d / f"{seq:012d}.upd")
+            while True:
+                try:
+                    os.link(tmp, d / f"{seq:012d}.upd")
+                    break
+                except FileExistsError:
+                    seq += 1
+            tmp.unlink()
         return seq
 
     # -- source --------------------------------------------------------------
@@ -124,19 +133,38 @@ class FileQueueSource(MessageProducer, MessageSource):
                     seq = int(p.name.split(".")[0])
                     if seq < start:
                         continue
-                    raw = p.read_bytes()
-                    n = int(np.frombuffer(raw[:8], "<i8")[0])
-                    keys = np.frombuffer(raw[8 : 8 + 8 * n], "<i8").copy()
-                    vecs = (
-                        np.frombuffer(raw[8 + 8 * n :], "<f4")
-                        .reshape(n, dim)
-                        .copy()
-                    )
+                    try:
+                        raw = p.read_bytes()
+                        n = int(np.frombuffer(raw[:8], "<i8")[0])
+                        keys = np.frombuffer(raw[8 : 8 + 8 * n], "<i8").copy()
+                        vecs = (
+                            np.frombuffer(raw[8 + 8 * n :], "<f4")
+                            .reshape(n, dim)
+                            .copy()
+                        )
+                    except Exception:
+                        # Quarantine a corrupt/mismatched file instead of
+                        # retrying it forever — a single poison message
+                        # must not stall every table's updates. The rename
+                        # keeps the bytes for inspection.
+                        log.exception(
+                            "corrupt update file %s; quarantined as .bad",
+                            p,
+                        )
+                        try:
+                            os.replace(p, p.with_suffix(".bad"))
+                        except OSError:
+                            pass
+                        self._offsets[tag] = seq + 1
+                        continue
                     self._offsets[tag] = seq + 1
                     yielded = True
                     yield tag, keys, vecs
             if yielded or time.monotonic() >= deadline:
                 return
+            # Idle wait between rescans: a tight loop would re-glob the
+            # whole backlog at 100% CPU for the entire timeout window.
+            time.sleep(min(0.01, max(deadline - time.monotonic(), 0)))
 
     def commit(self) -> None:
         with self._lock:
@@ -187,10 +215,46 @@ class UpdateConsumer:
         return self
 
     def _loop(self):
+        # Batches APPLY as they stream out of poll() (lazy iteration):
+        # materializing the whole poll first meant a periodic commit could
+        # persist offsets for batches later in the list that were not yet
+        # applied — a crash then skipped them forever (silent update loss).
+        aborted = False
         while not self._stop.is_set():
             got = False
             try:
-                batches = list(self.source.poll(self.params.poll_timeout_ms))
+                for tag, keys, vecs in self.source.poll(
+                        self.params.poll_timeout_ms):
+                    got = True
+                    # Chunk by max_batch_size (reference doc:612-615).
+                    mb = max(self.params.max_batch_size, 1)
+                    for i in range(0, keys.shape[0], mb):
+                        chunk_k = keys[i : i + mb]
+                        chunk_v = vecs[i : i + mb]
+                        while not self._stop.is_set():
+                            try:
+                                self.apply_fn(tag, chunk_k, chunk_v)
+                                break
+                            except Exception:
+                                log.exception(
+                                    "update apply failed; backing off %d ms",
+                                    self.params.failure_backoff_ms,
+                                )
+                                time.sleep(
+                                    self.params.failure_backoff_ms / 1e3)
+                        else:
+                            # stop() interrupted an unapplied chunk: its
+                            # offset is already advanced in memory, so the
+                            # final commit must be skipped — the batch
+                            # replays on restart (idempotent upserts).
+                            aborted = True
+                    if aborted:
+                        break
+                    self._applied += 1
+                    self._since_commit += 1
+                    if self._since_commit >= self.params.max_commit_interval:
+                        self.source.commit()
+                        self._since_commit = 0
             except Exception:
                 log.exception(
                     "update source poll failed; backing off %d ms",
@@ -198,30 +262,10 @@ class UpdateConsumer:
                 )
                 time.sleep(self.params.failure_backoff_ms / 1e3)
                 continue
-            for tag, keys, vecs in batches:
-                got = True
-                # Chunk by max_batch_size (reference doc:612-615).
-                mb = max(self.params.max_batch_size, 1)
-                for i in range(0, keys.shape[0], mb):
-                    chunk_k, chunk_v = keys[i : i + mb], vecs[i : i + mb]
-                    while not self._stop.is_set():
-                        try:
-                            self.apply_fn(tag, chunk_k, chunk_v)
-                            break
-                        except Exception:
-                            log.exception(
-                                "update apply failed; backing off %d ms",
-                                self.params.failure_backoff_ms,
-                            )
-                            time.sleep(self.params.failure_backoff_ms / 1e3)
-                self._applied += 1
-                self._since_commit += 1
-                if self._since_commit >= self.params.max_commit_interval:
-                    self.source.commit()
-                    self._since_commit = 0
             if not got:
                 time.sleep(self.params.poll_timeout_ms / 1e3)
-        self.source.commit()
+        if not aborted:
+            self.source.commit()
 
     @property
     def applied_batches(self) -> int:

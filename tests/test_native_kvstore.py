@@ -137,3 +137,24 @@ def test_native_bulk_throughput_smoke():
     np.testing.assert_array_equal(out[:, 0], vecs[q, 0])
     assert t_insert < 5.0, f"bulk insert too slow: {t_insert:.2f}s"
     assert t_query < 1.0, f"bulk query too slow: {t_query:.2f}s"
+
+
+@pytest.mark.parametrize("name,cls", list(_tiers()))
+def test_duplicate_keys_in_one_batch(name, cls):
+    """A key repeated within ONE insert batch must behave like sequential
+    upserts (LAST value wins, one row) — the numpy tier used to allocate an
+    orphan arena row per duplicate, inflating size() and KeyError-ing a
+    later eviction."""
+    t = cls()
+    t.create_table("hps_et.d.t", 4)
+    keys = np.array([5, 5, 9, 5], np.int64)
+    vecs = np.arange(16, dtype=np.float32).reshape(4, 4)
+    t.insert("hps_et.d.t", keys, vecs)
+    assert t.size("hps_et.d.t") == 2
+    out, found = t.query("hps_et.d.t", np.array([5, 9], np.int64))
+    assert found.all()
+    np.testing.assert_array_equal(out[0], vecs[3])  # last occurrence of 5
+    np.testing.assert_array_equal(out[1], vecs[2])
+    # Eviction of the whole table must not crash on orphan rows.
+    assert t.evict("hps_et.d.t", np.array([5, 9], np.int64)) == 2
+    assert t.size("hps_et.d.t") == 0

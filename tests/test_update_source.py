@@ -699,3 +699,43 @@ def test_offset_commit_generation_fencing():
         prod.close()
     finally:
         broker.stop()
+
+
+def test_file_queue_quarantines_corrupt_file(tmp_path):
+    """A corrupt update file is quarantined (renamed .bad, offset advanced)
+    instead of stalling every table's updates forever."""
+    q = FileQueueSource(tmp_path / "q")
+    keys = np.arange(3, dtype=np.int64)
+    vecs = np.ones((3, 4), np.float32)
+    q.post("hps_et.m.t0", keys, vecs)
+    q.post("hps_et.m.t0", keys + 10, vecs * 2)
+    # Corrupt the FIRST file (truncate mid-payload).
+    d = tmp_path / "q" / "hps_et.m.t0"
+    first = sorted(d.glob("*.upd"))[0]
+    first.write_bytes(first.read_bytes()[:9])
+    got = list(q.poll(0))
+    # The good batch still flows; the poison one is quarantined.
+    assert len(got) == 1
+    np.testing.assert_array_equal(got[0][1], keys + 10)
+    assert list(d.glob("*.bad")), "corrupt file must be quarantined"
+    # Next poll: nothing re-read, no stall.
+    assert list(q.poll(0)) == []
+    q.post("hps_et.m.t0", keys + 50, vecs)
+    assert len(list(q.poll(0))) == 1
+
+
+def test_file_queue_multiprocess_sequencing(tmp_path):
+    """Two producer handles (simulating separate processes — the in-process
+    lock does not serialize them) must never overwrite each other's
+    sequence numbers: the hard-link claim makes the loser take the next
+    number."""
+    q1 = FileQueueSource(tmp_path / "q")
+    q2 = FileQueueSource(tmp_path / "q")
+    keys = np.arange(2, dtype=np.int64)
+    vecs = np.ones((2, 4), np.float32)
+    seqs = [q1.post("hps_et.m.t0", keys, vecs),
+            q2.post("hps_et.m.t0", keys + 10, vecs * 2),
+            q1.post("hps_et.m.t0", keys + 20, vecs * 3)]
+    assert len(set(seqs)) == 3
+    got = list(FileQueueSource(tmp_path / "q").poll(0))
+    assert len(got) == 3  # nothing overwritten
