@@ -48,6 +48,16 @@ def onehot_member_rows(
         # Blocked [K, SUB, D] layout (only reachable when tests force a tiny
         # block size): flatten — one-hot arenas are small by construction.
         values = values.reshape(-1, values.shape[-1])
+    if values.dtype == jnp.uint8:
+        # Nibble-packed int4: the one-hot matmul would multiply PACKED
+        # bytes and return half-width garbage. The production grouping
+        # policy never routes int4 here (parameter_server.py), but the
+        # public build_arena_views(..., quant="int4", lookup_kind="onehot")
+        # can — fail loudly instead.
+        raise TypeError(
+            "one-hot lookup cannot consume nibble-packed int4 arenas; use "
+            "the gather path (lookup_kind='arena'/'solo')"
+        )
     seg = values[offset : offset + size]
     local = slots - offset
     iota = jax.lax.broadcasted_iota(jnp.int32, (slots.shape[0], size), 1)

@@ -165,7 +165,9 @@ def use_pallas_default() -> bool:
     """XLA take is the production default — see the module docstring for the
     measured numbers (the per-key DMA kernel is scalar-issue bound and
     slower). Set HPS_TPU_FORCE_PALLAS_GATHER=1 to experiment."""
-    return bool(os.environ.get("HPS_TPU_FORCE_PALLAS_GATHER"))
+    # "0"/"" must mean OFF (bool("0") is True) — same convention as the
+    # sibling kill-switches (HPS_PALLAS_W8A8, HPS_PALLAS_INTERACTION).
+    return os.environ.get("HPS_TPU_FORCE_PALLAS_GATHER", "0") not in ("", "0")
 
 
 def dequant_gather(

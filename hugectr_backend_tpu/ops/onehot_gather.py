@@ -96,7 +96,8 @@ def plan_onehot_worklist(
     """
     kt, rt, first = [], [], []
     key_tile = 0
-    for (tile0, ntiles), nkeys in zip(member_row_tiles, keys_per_member):
+    for (tile0, ntiles), nkeys in zip(member_row_tiles, keys_per_member,
+                                      strict=True):
         if nkeys % m_tile:
             raise ValueError(f"keys per member must be a multiple of {m_tile}")
         if ntiles <= 0:
@@ -291,6 +292,12 @@ def onehot_gather_rows(
 
     The production v2 path: per-key dequant scales are gathered host-side
     during key translation and multiplied in by the caller (fused by XLA)."""
+    if slots.shape[0] != plan.num_key_tiles * plan.m_tile:
+        raise ValueError(
+            f"slots length {slots.shape[0]} does not match the plan "
+            f"({plan.num_key_tiles} x {plan.m_tile} keys) — member keys "
+            "would be silently dropped"
+        )
     return _onehot_rows_raw(
         values,
         slots.reshape(-1, 1).astype(jnp.int32),
@@ -312,6 +319,12 @@ def onehot_gather(
     interpret: bool = False,
 ) -> jax.Array:
     """-> [N, D] f32, bit-identical to gather_dequant_xla(values, scales, slots)."""
+    if slots.shape[0] != plan.num_key_tiles * plan.m_tile:
+        raise ValueError(
+            f"slots length {slots.shape[0]} does not match the plan "
+            f"({plan.num_key_tiles} x {plan.m_tile} keys) — member keys "
+            "would be silently dropped"
+        )
     if scales is None:
         scales = jnp.ones((values.shape[0],), jnp.float32)
     scales8 = jnp.broadcast_to(

@@ -49,7 +49,11 @@ def _pick_bm(m: int) -> int:
 def _kernel(x_ref, wq_ref, ws_ref, b_ref, out_ref, *, act):
     x = x_ref[...]  # [bm, K] f32
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    xs = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)  # [bm, 1]
+    # DIVIDE (not multiply by the inexact fl(1/127)): the XLA fallback
+    # divides, and the documented contract is bit-equivalent scales on
+    # both paths — an ulp difference here can flip round(x/xs) on
+    # boundary values and make path choice observable in outputs.
+    xs = jnp.maximum(absmax, 1e-12) / 127.0  # [bm, 1]
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq,

@@ -79,16 +79,22 @@ def _native_quantize(vectors: np.ndarray, order, mode: int):
         ]
         lib._quant_bound = True
     vectors = np.ascontiguousarray(vectors, np.float32)
+    # Output row count follows the order's length (the numpy fallback
+    # quantizes vectors[order]); the native kernel reads sources through
+    # order[r], so passing rows_out as its n gives identical semantics —
+    # previously a shorter order made it read past the order array.
+    rows_out = n
     if order is not None:
         order = np.ascontiguousarray(order, np.int64)
+        rows_out = int(order.shape[0])
         op = order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     else:
         op = None
-    q = np.empty((n, dim if mode == 8 else dim // 2),
+    q = np.empty((rows_out, dim if mode == 8 else dim // 2),
                  np.int8 if mode == 8 else np.uint8)
-    scales = np.empty(n, np.float32)
+    scales = np.empty(rows_out, np.float32)
     lib.hps_quantize_rows(
-        n, dim,
+        rows_out, dim,
         vectors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         op, q.ctypes.data_as(ctypes.c_void_p),
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -24,11 +24,23 @@ class Timer:
         self._threads: list[threading.Thread] = []
         self._lock = threading.Lock()
 
+    def _arm(self) -> threading.Event:
+        """Fresh stop-event when restarting after stop() (a shared set
+        Event made a restarted Timer silently never run its task) and
+        prune finished threads so long-lived timers don't accumulate dead
+        Thread objects."""
+        with self._lock:
+            if self._stop.is_set():
+                self._stop = threading.Event()
+            self._threads = [t for t in self._threads if t.is_alive()]
+            return self._stop
+
     def start(self, interval_s: float, task: Callable[[], None]) -> None:
         """Run ``task`` every ``interval_s`` seconds until :meth:`stop`."""
+        stop = self._arm()
 
         def loop():
-            while not self._stop.wait(interval_s):
+            while not stop.wait(interval_s):
                 try:
                     task()
                 except Exception:
@@ -43,8 +55,10 @@ class Timer:
         """Run ``task`` once after ``delay_s`` seconds (async, pooled in the
         reference via ThreadPool, timer.hpp:92-99)."""
 
+        stop = self._arm()
+
         def once():
-            if self._stop.wait(delay_s):
+            if stop.wait(delay_s):
                 return
             try:
                 task()
@@ -61,5 +75,7 @@ class Timer:
         if join:
             with self._lock:
                 threads = list(self._threads)
+            me = threading.current_thread()
             for t in threads:
-                t.join(timeout=5)
+                if t is not me:  # a task calling stop() cannot join itself
+                    t.join(timeout=5)
