@@ -118,24 +118,14 @@ def plan_onehot_worklist(
     )
 
 
-def _onehot_kernel(
-    kt_smem, rt_smem, first_smem,  # scalar-prefetched plan arrays
-    slots_ref,   # [m_tile, 1] int32 (block of [N, 1])
-    table_ref,   # [r_tile, D] int8/bf16/f32 (block of [R_pad, D])
-    scales_ref,  # [8, r_tile] f32 (block of [8, R_pad], sublane-replicated)
-    rows_ref,    # out [m_tile, D] f32
-    svec_ref,    # out [m_tile, 1] f32
-    *,
-    m_tile: int,
-    r_tile: int,
-):
-    s = pl.program_id(0)
+def _masked_part(slots_ref, table_ref, rt_smem, s, m_tile, r_tile):
+    """Shared kernel body for both one-hot kernels: the key-tile mask and
+    the dtype-dispatched MXU contraction (bf16 mask x bf16 table is EXACT
+    for int8/bf16 arenas; fp32 arenas must stay f32 end-to-end or the
+    advertised bit-identity with gather_dequant_xla breaks)."""
     r0 = rt_smem[s] * r_tile
     iota = jax.lax.broadcasted_iota(jnp.int32, (m_tile, r_tile), 1)
     mask = slots_ref[...] == (r0 + iota)  # [M, R] bool, slots broadcast
-    # bf16 mask x bf16 table is EXACT for int8/bf16 arenas (int8 values are
-    # exact in bf16); fp32 arenas must stay f32 end-to-end or the advertised
-    # bit-identity with gather_dequant_xla breaks (fp32 MXU path).
     if table_ref.dtype == jnp.float32:
         part = jax.lax.dot_general(
             mask.astype(jnp.float32),
@@ -150,6 +140,23 @@ def _onehot_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    return mask, part
+
+
+def _onehot_kernel(
+    kt_smem, rt_smem, first_smem,  # scalar-prefetched plan arrays
+    slots_ref,   # [m_tile, 1] int32 (block of [N, 1])
+    table_ref,   # [r_tile, D] int8/bf16/f32 (block of [R_pad, D])
+    scales_ref,  # [8, r_tile] f32 (block of [8, R_pad], sublane-replicated)
+    rows_ref,    # out [m_tile, D] f32
+    svec_ref,    # out [m_tile, 1] f32
+    *,
+    m_tile: int,
+    r_tile: int,
+):
+    s = pl.program_id(0)
+    mask, part = _masked_part(slots_ref, table_ref, rt_smem, s, m_tile,
+                              r_tile)
     spart = jnp.sum(
         jnp.where(mask, scales_ref[0:1, :], 0.0), axis=1, keepdims=True
     )
@@ -222,19 +229,7 @@ def _onehot_rows_kernel(
     Measured on v5e: dropping the masked scale sum + svec output cuts ~30%
     off the v1 kernel's VPU-bound cost."""
     s = pl.program_id(0)
-    r0 = rt_smem[s] * r_tile
-    iota = jax.lax.broadcasted_iota(jnp.int32, (m_tile, r_tile), 1)
-    mask = slots_ref[...] == (r0 + iota)
-    if table_ref.dtype == jnp.float32:
-        part = jax.lax.dot_general(
-            mask.astype(jnp.float32), table_ref[...],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-    else:
-        part = jax.lax.dot_general(
-            mask.astype(jnp.bfloat16), table_ref[...].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+    _, part = _masked_part(slots_ref, table_ref, rt_smem, s, m_tile, r_tile)
 
     @pl.when(first_smem[s] == 1)
     def _init():
