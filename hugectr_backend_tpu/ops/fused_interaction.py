@@ -505,3 +505,112 @@ def _bwd_parts(feature_map, interpret, res, g):
 
 
 fused_dot_interaction_parts.defvjp(_fwd_parts, _bwd_parts)
+
+
+# ------------------------------------------------- one-hot-in-kernel variant
+#
+# EXPERIMENTAL (round 4, VERDICT option b for the composed-fused gap): the
+# production fused program runs the one-hot lookup stage as XLA matmuls
+# whose [n_oh*B, D] output materializes in HBM before the interaction
+# kernel reads it back — a ~2x29 MB round-trip at the headline shape that
+# XLA cannot fuse across the pallas_call boundary. This variant assembles
+# those features INSIDE the interaction kernel: the (small, VMEM-resident)
+# one-hot arena rides in whole, and each feature's row is computed with the
+# same exact one-hot MXU contraction the standalone stage uses
+# (cache/lookup_program.py onehot_member_rows), scaled by the host-gathered
+# per-key scales. Requires 128-aligned member offsets (Mosaic's misaligned
+# static-slice hazard — see _eligible); the microbench pads its layout.
+
+
+def _kernel_oh_parts(bot_ref, arena_ref, slots_ref, scales_ref, *rest,
+                     dim: int, feats: int, members):
+    part_refs = rest[:-1]
+    out_ref = rest[-1]
+    bot = bot_ref[...]  # [bb, D]
+    bb = bot.shape[0]
+    cols = [bot[:, None, :]]
+    for j, (off, size) in enumerate(members):
+        seg = arena_ref[off : off + size, :]  # [size, D], off 128-aligned
+        local = slots_ref[j, :][:, None] - off  # [bb, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (bb, size), 1)
+        mask = (local == iota).astype(jnp.bfloat16)
+        row = jax.lax.dot_general(
+            mask,
+            seg.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scales_ref[j, :][:, None]
+        cols.append(row[:, None, :])
+    for r in part_refs:
+        cols.append(jnp.swapaxes(r[...], 0, 1))
+    z = jnp.concatenate(cols, axis=1)  # [bb, F, D]
+    zb = z.astype(jnp.bfloat16)
+    zzt = jax.lax.dot_general(
+        zb, zb,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:, :dim] = bot
+    off_o = dim
+    for f in range(feats - 1):
+        n = feats - 1 - f
+        out_ref[:, off_o : off_o + n] = zzt[:, f, f + 1 :].astype(
+            out_ref.dtype)
+        off_o += n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("members", "interpret", "block")
+)
+def fused_dot_interaction_oh_parts(bottom, arena, slots, scales, parts,
+                                   *, members, interpret=False,
+                                   block: int = 0):
+    """Interaction with the one-hot features gathered IN-KERNEL.
+
+    bottom [B, D]; arena [R_pad, D] (small quantized one-hot arena, rides
+    whole in VMEM); slots [n_oh, B] int32 arena-global; scales [n_oh, B]
+    f32 host-gathered per-key dequant scales; parts: remaining feature
+    chunks [n_i, B, D] (part-major after the one-hot features).
+    ``members``: per one-hot feature (offset, size), offsets 128-aligned.
+    """
+    batch, dim = bottom.shape
+    n_oh = len(members)
+    feats = 1 + n_oh + sum(p.shape[0] for p in parts)
+    pairs = feats * (feats - 1) // 2
+    bb = block or _pick_block(batch)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_oh_parts, dim=dim, feats=feats,
+            members=tuple(tuple(m) for m in members),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, dim + pairs), bottom.dtype),
+        grid=(batch // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(arena.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_oh, bb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_oh, bb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((p.shape[0], bb, dim), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+            for p in parts
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, dim + pairs), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * feats * feats * dim
+            + 2 * batch * dim * sum(sz for _, sz in members),
+            bytes_accessed=(
+                bottom.size * 4 + arena.size * arena.dtype.itemsize
+                + sum(p.size * p.dtype.itemsize for p in parts)
+                + batch * (dim + pairs) * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bottom, arena, slots, scales, *parts)

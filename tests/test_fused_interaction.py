@@ -298,3 +298,36 @@ def test_part_major_phantom_blocks(inputs):
     got2 = fused_dot_interaction_parts(bot, extra, pm_fmap, True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=0, atol=0.12)
+
+
+def test_oh_in_kernel_parity():
+    """Experimental one-hot-in-kernel variant: the interaction computes the
+    one-hot features from the arena+slots inside the kernel; output must
+    match the XLA reference over the host-gathered equivalent embeddings."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        fused_dot_interaction_oh_parts,
+    )
+
+    rng = np.random.default_rng(0)
+    B, D = 64, 128
+    members = ((0, 256), (256, 128), (384, 384))
+    arena = jnp.asarray(rng.integers(-127, 128, (896, D)), jnp.int8)
+    slots = np.stack([rng.integers(off, off + sz, B)
+                      for off, sz in members]).astype(np.int32)
+    # Production-like dequant scales (absmax/127 ~ 1e-2): bf16 interaction
+    # tolerance is relative, so the test magnitudes must match production.
+    scales = ((rng.random((3, B)) + 0.5) / 127.0).astype(np.float32)
+    parts = (jnp.asarray(rng.standard_normal((2, B, D)) * 0.1, jnp.float32),
+             jnp.asarray(rng.standard_normal((1, B, D)) * 0.1, jnp.float32))
+    bot = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    got = fused_dot_interaction_oh_parts(
+        bot, arena, jnp.asarray(slots), jnp.asarray(scales), parts,
+        members=members, interpret=True)
+    oh_rows = (np.asarray(arena)[slots].astype(np.float32)
+               * scales[:, :, None])  # [3, B, D]
+    emb = np.concatenate([oh_rows.transpose(1, 0, 2),
+                          np.asarray(parts[0]).transpose(1, 0, 2),
+                          np.asarray(parts[1]).transpose(1, 0, 2)], axis=1)
+    want = _xla_reference(bot, jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0.2)
