@@ -63,6 +63,13 @@ def make_criteo_like_batch(
     the power-law access skew that the reference's hot cache exploits
     (reference docs/architecture.md:49-50).
     """
+    if table_keys is None:
+        raise ValueError(
+            "table_keys is required: make_synthetic_table draws keys from a "
+            "random id space, so rank indices are NOT valid keys — passing "
+            "ranks directly would make ~75% of lookups miss while claiming "
+            "to model a hot-cache workload"
+        )
     rng = np.random.default_rng(seed)
     keys_chunks = []
     num_keys = []
@@ -71,10 +78,7 @@ def make_criteo_like_batch(
         n = batch_size * per
         # Zipf-ish rank sampling bounded to the table size.
         ranks = rng.zipf(alpha, size=n) % max(rows, 1)
-        if table_keys is not None:
-            chunk = table_keys[t][ranks]
-        else:
-            chunk = ranks.astype(np.int64)
+        chunk = table_keys[t][ranks]
         keys_chunks.append(chunk.astype(np.int64))
         num_keys.append(n)
     return np.concatenate(keys_chunks), np.asarray(num_keys, dtype=np.int32)

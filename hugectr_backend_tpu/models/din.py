@@ -33,7 +33,12 @@ class DinAttentionPool(nn.Module):
         score = score.astype(jnp.float32).squeeze(-1)  # [B, S]
         mask = jnp.arange(s)[None, :] < seq_len[:, None]
         score = jnp.where(mask, score, -1e9)
-        w = nn.softmax(score, axis=-1)
+        # Re-mask AFTER the softmax: for seq_len == 0 every score is -1e9
+        # and softmax over the constant row returns UNIFORM weights — the
+        # pooled vector would average arbitrary padding-position embeddings
+        # (pooled_lookup's contract: padding positions may hold any value).
+        # Masking makes an empty history pool to zeros instead.
+        w = nn.softmax(score, axis=-1) * mask.astype(jnp.float32)
         return jnp.einsum("bs,bsd->bd", w, seq.astype(jnp.float32))
 
 

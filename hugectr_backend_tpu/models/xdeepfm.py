@@ -38,9 +38,13 @@ class CINLayer(nn.Module):
     def __call__(self, x, x0):
         b, h, d = x.shape
         t = x0.shape[1]
+        # The einsum contracts over h*t (the LAST axis), so fan-in must be
+        # h*t — lecun_normal's default in_axis=-2 would scale the init
+        # variance by (h*t)/feature_maps (~3x std at Criteo shapes,
+        # compounding per CIN layer).
         w = self.param(
             "w",
-            nn.initializers.lecun_normal(),
+            nn.initializers.lecun_normal(in_axis=-1, out_axis=-2),
             (self.feature_maps, h * t),
             jnp.float32,
         )

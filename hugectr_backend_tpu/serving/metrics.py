@@ -14,10 +14,18 @@ from collections import defaultdict
 from typing import Iterable
 
 
+def _esc(v) -> str:
+    """Prometheus exposition label-value escaping (backslash, quote,
+    newline): an unescaped quote in a model name would make the whole
+    /metrics response unparseable and drop every metric from the scrape."""
+    return (str(v).replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n"))
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(f'{k}="{_esc(v)}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 
@@ -76,6 +84,7 @@ class Histogram:
         self._counts: dict[tuple, list[int]] = {}
         self._sum: dict[tuple, float] = defaultdict(float)
         self._total: dict[tuple, int] = defaultdict(int)
+        self._max: dict[tuple, float] = defaultdict(float)
         self._lock = threading.Lock()
 
     def observe(self, value: float, **labels):
@@ -88,6 +97,8 @@ class Histogram:
                     self._counts[key][i] += 1
             self._sum[key] += value
             self._total[key] += 1
+            if value > self._max[key]:
+                self._max[key] = value
 
     def mean(self, **labels) -> float:
         key = tuple(sorted(labels.items()))
@@ -116,22 +127,31 @@ class Histogram:
             for i, b in enumerate(self.buckets):
                 if self._counts[key][i] >= target:
                     return b
-        return self.buckets[-1]
+            # Target beyond the last bucket: the largest OBSERVED value is
+            # the honest upper bound (returning buckets[-1] under-reported
+            # exactly the pathological tails this metric exists to expose).
+            return self._max[key]
 
     def render(self) -> Iterable[str]:
         yield f"# HELP {self.name} {self.help}"
         yield f"# TYPE {self.name} histogram"
+        # Snapshot under the lock; yield OUTSIDE it (a partially-consumed
+        # generator would otherwise hold the lock and block every observe()
+        # on the serving hot path — Counter.render's pattern).
         with self._lock:
-            keys = list(self._total.keys())
-            for key in keys:
-                labels = dict(key)
-                for i, b in enumerate(self.buckets):
-                    l2 = dict(labels, le=repr(b))
-                    yield f"{self.name}_bucket{_fmt_labels(l2)} {self._counts[key][i]}"
-                linf = dict(labels, le="+Inf")
-                yield f"{self.name}_bucket{_fmt_labels(linf)} {self._total[key]}"
-                yield f"{self.name}_sum{_fmt_labels(labels)} {self._sum[key]}"
-                yield f"{self.name}_count{_fmt_labels(labels)} {self._total[key]}"
+            snap = [
+                (dict(key), list(self._counts[key]), self._sum[key],
+                 self._total[key])
+                for key in self._total
+            ]
+        for labels, counts, total_sum, total in snap:
+            for i, b in enumerate(self.buckets):
+                l2 = dict(labels, le=repr(b))
+                yield f"{self.name}_bucket{_fmt_labels(l2)} {counts[i]}"
+            linf = dict(labels, le="+Inf")
+            yield f"{self.name}_bucket{_fmt_labels(linf)} {total}"
+            yield f"{self.name}_sum{_fmt_labels(labels)} {total_sum}"
+            yield f"{self.name}_count{_fmt_labels(labels)} {total}"
 
 
 class MetricsRegistry:

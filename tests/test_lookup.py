@@ -268,3 +268,28 @@ def test_dram_tier_eviction():
     out, found = tier.query("t", live[:10])
     assert found.all()
     np.testing.assert_array_equal(out, np.tile(live[:10].astype(np.float32)[:, None], (1, 4)))
+
+
+def test_criteo_like_batch_serves_hot_keys(deployed):
+    """make_criteo_like_batch builds a wire-format request whose keys come
+    from the REAL table key space (rank indices are not keys — the helper
+    now requires table_keys), so the Zipf batch actually exercises the
+    hot path it claims to model."""
+    from hugectr_backend_tpu.io import make_criteo_like_batch
+
+    ps, tables = deployed
+    keys, numkeys = make_criteo_like_batch(
+        4, [500, 2000], [2, 3],
+        table_keys=[tables[0].keys, tables[1].keys], seed=1)
+    assert numkeys.tolist() == [8, 12]
+    sess = LookupSession.create(
+        ps.get_model_params("wdl"), ps.get_embedding_cache("wdl", 0))
+    out = sess.lookup_from_request(keys, numkeys)
+    # Every key resolves (no default rows): compare against ground truth.
+    want = np.concatenate([
+        expected_vector(keys[:8], 4).ravel(),
+        expected_vector(keys[8:], 16).ravel(),
+    ])
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+    with pytest.raises(ValueError, match="table_keys is required"):
+        make_criteo_like_batch(4, [500], [2])

@@ -147,3 +147,27 @@ def test_pooled_solo_host_scales(tmp_path, monkeypatch):
         n = int(seq_len[i])
         want = ref[i, :n].mean(axis=0) if n else np.zeros(16)
         np.testing.assert_allclose(out[i], want, rtol=0.02, atol=0.02)
+
+
+def test_din_empty_history_pools_to_zero():
+    """seq_len == 0: softmax over a fully-masked score row returns UNIFORM
+    weights — without the post-softmax mask, arbitrary padding-position
+    embeddings averaged into the prediction. An empty history must pool to
+    zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from hugectr_backend_tpu.models.din import DinAttentionPool
+
+    rng = np.random.default_rng(0)
+    b, s, d = 4, 6, 8
+    target = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    seq = jnp.asarray(rng.standard_normal((b, s, d)) * 100, jnp.float32)
+    seq_len = jnp.asarray([0, 3, 0, 6], jnp.int32)
+    m = DinAttentionPool(hidden=8)
+    pooled = m.apply(m.init(jax.random.PRNGKey(0), target, seq, seq_len),
+                     target, seq, seq_len)
+    pooled = np.asarray(pooled)
+    np.testing.assert_array_equal(pooled[0], 0.0)
+    np.testing.assert_array_equal(pooled[2], 0.0)
+    assert np.abs(pooled[1]).max() > 0 and np.abs(pooled[3]).max() > 0
