@@ -29,6 +29,10 @@ def make_mesh(
     devices=None,
 ) -> Mesh:
     """Build a (data x table) mesh from the first data*table devices."""
+    if table < 1 or data < 1:
+        raise ValueError(
+            f"mesh axes must be >= 1 (got table={table}, data={data})"
+        )
     devices = devices if devices is not None else jax.devices()
     need = table * data
     if len(devices) < need:

@@ -26,14 +26,27 @@ SERVICE_NAME = "inference.GRPCInferenceService"
 
 
 def _generate():
+    import os
+    import tempfile
+
     _GEN.mkdir(exist_ok=True)
     (_GEN / "__init__.py").touch()
-    subprocess.run(
-        ["protoc", f"-I{_HERE}", f"--python_out={_GEN}", _PROTO.name],
-        check=True,
-        cwd=_HERE,
-        capture_output=True,
-    )
+    # Generate into a private temp dir and publish with an atomic rename:
+    # two processes regenerating concurrently must never load a
+    # half-written pb2. Surface protoc's stderr on failure — a bare
+    # CalledProcessError hides the actual parse error.
+    with tempfile.TemporaryDirectory(dir=_GEN) as tmp:
+        proc = subprocess.run(
+            ["protoc", f"-I{_HERE}", f"--python_out={tmp}", _PROTO.name],
+            cwd=_HERE,
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"protoc failed for {_PROTO.name}:\n"
+                f"{proc.stderr.decode(errors='replace')}"
+            )
+        os.replace(pathlib.Path(tmp) / _PB2.name, _PB2)
 
 
 def load():
@@ -44,7 +57,7 @@ def load():
     with _lock:
         if _module is not None:
             return _module
-        if not _PB2.exists() or _PB2.stat().st_mtime < _PROTO.stat().st_mtime:
+        if not _PB2.exists() or _PB2.stat().st_mtime <= _PROTO.stat().st_mtime:
             _generate()
         spec = importlib.util.spec_from_file_location("kserve_v2_pb2", _PB2)
         mod = importlib.util.module_from_spec(spec)

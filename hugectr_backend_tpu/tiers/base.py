@@ -13,8 +13,6 @@ regexes written for HugeCTR keep working: ``hps_et.<model>.<table_name>``
 from __future__ import annotations
 
 import abc
-from typing import Iterable, Sequence
-
 import numpy as np
 
 

@@ -18,12 +18,16 @@ from __future__ import annotations
 import contextlib
 import os
 
-_TRACING_DISABLED = os.environ.get("HPS_TPU_DISABLE_TRACING", "")
+def _tracing_disabled() -> bool:
+    # Read per call (cheap) so the flag works when set after import, and
+    # "0"/"false" mean OFF like every other flag in the package.
+    return os.environ.get("HPS_TPU_DISABLE_TRACING", "").strip().lower() in (
+        "1", "true", "yes", "on")
 
 
 def annotate(name: str):
     """Context manager marking a host-side region in profiler traces."""
-    if _TRACING_DISABLED:
+    if _tracing_disabled():
         return contextlib.nullcontext()
     import jax.profiler
 

@@ -12,11 +12,20 @@ import os
 # reliable switch is jax.config.update after import, before first use. Unit
 # tests validate semantics on an 8-device virtual CPU mesh; TPU perf runs
 # live in bench.py.
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if m is None:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+elif int(m.group(1)) < 8:
+    # The suite hard-requires 8 virtual devices; a developer's exported
+    # smaller count would fail every mesh fixture with opaque errors.
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags)
 
 import jax  # noqa: E402
 
