@@ -531,13 +531,17 @@ def main():
     big_idx = [t for t, c in enumerate(CRITEO_CARDS)
                if c > arena_member_max_rows()]
 
-    def arena_layout(idx):
+    def arena_layout(idx, align=1):
+        """Member blocks of ``cards[t]+1`` rows, padded to ``align``-row
+        multiples (the production one-hot layout: build_arena_views pads
+        one-hot members to 128 rows so offsets/sizes stay lane-aligned for
+        the in-kernel interaction variant)."""
         cards = [CRITEO_CARDS[t] for t in idx]
-        off = np.concatenate([[0], np.cumsum(np.asarray(cards) + 1)]).astype(
-            np.int64)
+        blocks = [-(-(c + 1) // align) * align for c in cards]
+        off = np.concatenate([[0], np.cumsum(blocks)]).astype(np.int64)
         return cards, off, int(off[-1])
 
-    oh_cards, oh_off, oh_total = arena_layout(oh_idx)
+    oh_cards, oh_off, oh_total = arena_layout(oh_idx, align=128)
     ar_cards, ar_off, ar_total = arena_layout(ar_idx)
     big_cards = [CRITEO_CARDS[t] for t in big_idx]
 
@@ -575,18 +579,28 @@ def main():
             [off[i] + (r.zipf(1.05, batch) % c)
              for i, c in enumerate(cards)]).astype(np.int64)
 
-    oh_sizes = tuple(int(c) + 1 for c in oh_cards)
+    # Padded member sizes — what production's prepare_lookup passes since
+    # one-hot arenas became 128-row aligned (ArenaView.block_rows).
+    oh_sizes = tuple(int(oh_off[i + 1] - oh_off[i])
+                     for i in range(len(oh_cards)))
     oh_offs = tuple(int(o) for o in oh_off[:-1])
+    oh_members = tuple(zip(oh_offs, oh_sizes))
 
     def lookup_rows(oh_vals_, ar_vals_, ar_scales_, big_vals_, oh_sl, ar_sl,
-                    big_sl, oh_sc, big_sc, batch):
+                    big_sl, oh_sc, big_sc, batch, skip_oh=False):
         """The full 26-table lookup: one-hot + arena gather + solo gathers.
-        Returns (oh_rows, ar_rows, big_rows_list)."""
-        parts, p = [], 0
-        for o, sz in zip(oh_offs, oh_sizes):
-            parts.append(onehot_member_rows(oh_vals_, o, sz, oh_sl[p:p + batch]))
-            p += batch
-        oh_rows = jnp.concatenate(parts) * oh_sc[:, None]
+        Returns (oh_rows, ar_rows, big_rows_list). ``skip_oh`` mirrors the
+        production fold: the one-hot group is consumed by the interaction
+        kernel instead (lookup_program.gather_rows_for_groups "skip")."""
+        if skip_oh:
+            oh_rows = None
+        else:
+            parts, p = [], 0
+            for o, sz in zip(oh_offs, oh_sizes):
+                parts.append(
+                    onehot_member_rows(oh_vals_, o, sz, oh_sl[p:p + batch]))
+                p += batch
+            oh_rows = jnp.concatenate(parts) * oh_sc[:, None]
         ar_rows = gather_dequant_xla(ar_vals_, ar_scales_, ar_sl)
         big_rows = [
             gather_dequant_xla(v, None, sl) * sc[:, None]
@@ -594,7 +608,8 @@ def main():
         ]
         return oh_rows, ar_rows, big_rows
 
-    def make_run(batch, iters, e2e_model=None, e2e_params=None, dense0=None):
+    def make_run(batch, iters, e2e_model=None, e2e_params=None, dense0=None,
+                 oh_fold=True):
         oh_b, oh_m = bases_mods(oh_cards, oh_off, batch)
         ar_b, ar_m = bases_mods(ar_cards, ar_off, batch)
 
@@ -603,9 +618,22 @@ def main():
                 oh_sl0, ar_sl0, big_sl0, oh_sc, big_sc):
             def body(carry, i):
                 (oh_sl, ar_sl, big_sl), acc = carry
-                oh_rows, ar_rows, big_rows = lookup_rows(
-                    oh_vals_, ar_vals_, ar_scales_, big_vals_, oh_sl, ar_sl,
-                    big_sl, oh_sc, big_sc, batch)
+                fold = e2e_model is not None and oh_fold and len(oh_idx)
+                if fold:
+                    # Production fold (serving/program.py _fold_oh_plan):
+                    # the one-hot group is NOT looked up here — its slots +
+                    # scales ride into the interaction kernel, which
+                    # assembles those features from the VMEM-resident
+                    # arena (bench_artifacts/oh_fused_ab.json: 208.0 ->
+                    # 188.8 us on the one-hot+interaction stage).
+                    oh_rows = None
+                    _, ar_rows, big_rows = lookup_rows(
+                        oh_vals_, ar_vals_, ar_scales_, big_vals_, None,
+                        ar_sl, big_sl, None, big_sc, batch, skip_oh=True)
+                else:
+                    oh_rows, ar_rows, big_rows = lookup_rows(
+                        oh_vals_, ar_vals_, ar_scales_, big_vals_, oh_sl,
+                        ar_sl, big_sl, oh_sc, big_sc, batch)
                 if e2e_model is None:
                     tot = oh_rows.sum() + ar_rows.sum() + sum(
                         r.sum() for r in big_rows)
@@ -629,7 +657,13 @@ def main():
 
                     fmap = []
                     parts = []
-                    if len(oh_idx):
+                    oh = None
+                    if fold:
+                        oh = (oh_vals_,
+                              oh_sl.reshape(len(oh_idx), batch),
+                              oh_sc.reshape(len(oh_idx), batch),
+                              oh_members)
+                    elif len(oh_idx):
                         pi = len(parts)
                         parts.append(
                             oh_rows.reshape(len(oh_idx), batch, -1))
@@ -642,12 +676,13 @@ def main():
                     for j, t in enumerate(big_idx):
                         fmap.append((len(parts), 0))
                         parts.append(big_rows[j][None])
-                    emb = EmbParts(parts, fmap)
+                    emb = EmbParts(parts, fmap, batch, oh=oh)
                     logits = e2e_model.apply(mp, dense, emb)
                     tot = logits.sum()
                     bump = tot.astype(jnp.int32)
-                n_oh = (oh_sl - oh_b + oh_rows.sum(axis=1).astype(jnp.int32)
-                        + bump + i + 1) % oh_m + oh_b
+                oh_dep = (0 if oh_rows is None
+                          else oh_rows.sum(axis=1).astype(jnp.int32))
+                n_oh = (oh_sl - oh_b + oh_dep + bump + i + 1) % oh_m + oh_b
                 n_ar = (ar_sl - ar_b + ar_rows.sum(axis=1).astype(jnp.int32)
                         + bump + i + 1) % ar_m + ar_b
                 n_big = [
@@ -726,17 +761,23 @@ def main():
     # measurement flipped the w8a8-vs-f32 ordering between sessions at the
     # chip's ±4% session noise). Per variant: median slope over rounds +
     # spread; history appended to bench_artifacts/fused_ab_history.jsonl.
-    fused_variants = {"f32": (model, params)}
+    # Production default since round 5: the one-hot group folds INTO the
+    # interaction kernel (oh_fold=True, serving/program.py _fold_oh_plan);
+    # "f32_twostage" keeps the round-4 construction (one-hot stage as XLA
+    # matmuls materializing [n_oh*B, D] to HBM) as the in-session A/B.
+    fused_variants = {"f32": (model, params, True)}
+    fused_variants["f32_twostage"] = (model, params, False)
     fused_variants["bf16cast"] = (
-        DLRM(**arch, compute_dtype=jnp.bfloat16), params)
+        DLRM(**arch, compute_dtype=jnp.bfloat16), params, True)
     for fmt in ("int8", "fp8", "w8a8"):
         fused_variants[fmt] = (
-            DLRM(**arch, quant_fmt=fmt), quantize_model_params(params, fmt))
+            DLRM(**arch, quant_fmt=fmt), quantize_model_params(params, fmt),
+            True)
 
     runners = {}
-    for name, (m, mp) in fused_variants.items():
+    for name, (m, mp, fold) in fused_variants.items():
         for iters in (IT_LO, IT_HI):
-            run = make_run(BATCH, iters, m, mp, dense0)
+            run = make_run(BATCH, iters, m, mp, dense0, oh_fold=fold)
             a = args_for(0, BATCH)
             float(run(oh_vals, ar_vals, ar_scales, big_vals, mp, dense0, *a))
             runners[(name, iters)] = (run, mp)
@@ -762,7 +803,7 @@ def main():
     us_e2e = fused_med["f32"]  # production default
     e2e_qps = BATCH / us_e2e * 1e6
     dense_variants = {}
-    for name in ("bf16cast", "int8", "fp8", "w8a8"):
+    for name in ("f32_twostage", "bf16cast", "int8", "fp8", "w8a8"):
         dense_variants[f"fused_dlrm_{name}_dense_samples_per_s"] = round(
             BATCH / fused_med[name] * 1e6, 1)
         dense_variants[f"fused_dlrm_{name}_dense_batch_latency_us"] = round(

@@ -325,7 +325,14 @@ class EmbeddingCache:
                     arr[:n] = local_slots[t].astype(np.int64) + tb.offset
                     slot_parts.append(arr)
                     offs.append(int(tb.offset))
-                    sizes.append(int(tb.capacity) + 1)
+                    # Physical member block (128-aligned for one-hot arenas;
+                    # see ArenaView.block_rows). The wider one-hot mask is
+                    # exact — local slots never exceed capacity — and the
+                    # alignment is what lets the fused serving program fold
+                    # this whole group into the interaction kernel.
+                    sizes.append(
+                        int(getattr(tb, "block_rows", 0) or tb.capacity + 1)
+                    )
                     pcounts.append(pc)
                     table_pos[t] = (g, start)
                     start += pc

@@ -104,6 +104,12 @@ def gather_rows_for_groups(
     """
     outs = []
     for v, ds, sl, si, m in zip(vals, dscales, slots, scin, meta):
+        if m[0] == "skip":
+            # The caller consumes this group elsewhere (the fused serving
+            # program folds one-hot groups into the interaction kernel —
+            # serving/program.py) and must not pay its lookup here.
+            outs.append(None)
+            continue
         if m[0] == "onehot":
             _, offs, sizes, counts = m
             parts, p = [], 0

@@ -99,27 +99,37 @@ class DotInteraction(nn.Module):
         from hugectr_backend_tpu.ops.fused_interaction import EmbParts
 
         use = self.use_pallas
+        # Test hook: HPS_PALLAS_INTERPRET=1 runs the Pallas kernels in
+        # interpret mode so CPU tests exercise the REAL kernel bodies
+        # through the full serving path (Mosaic is never touched).
+        interp = os.environ.get("HPS_PALLAS_INTERPRET") == "1"
         if use is None:
             import jax
 
             use = (
                 not self.self_interaction
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or interp)
                 and os.environ.get("HPS_PALLAS_INTERACTION", "1") != "0"
             )
         if use and not self.self_interaction:
             from hugectr_backend_tpu.ops.fused_interaction import (
                 fused_dot_interaction,
+                fused_dot_interaction_oh,
                 fused_dot_interaction_parts,
             )
 
             if isinstance(emb, EmbParts):
                 ep = emb.astype(bottom_out.dtype)
+                if ep.oh is not None:
+                    return fused_dot_interaction_oh(
+                        bottom_out, ep.oh, ep.parts, ep.feature_map,
+                        interpret=interp,
+                    )
                 return fused_dot_interaction_parts(
-                    bottom_out, ep.parts, ep.feature_map
+                    bottom_out, ep.parts, ep.feature_map, interp
                 )
             return fused_dot_interaction(
-                bottom_out, emb.astype(bottom_out.dtype)
+                bottom_out, emb.astype(bottom_out.dtype), interp
             )
         if isinstance(emb, EmbParts):
             emb = emb.stack().astype(bottom_out.dtype)

@@ -193,17 +193,46 @@ class EmbParts:
     logical batch (defaults to parts[0]'s stride). Behaves enough like the
     stacked [B, T, D] tensor (shape/astype) for model code; ``stack()``
     materializes it for the XLA fallback path.
+
+    ``oh`` optionally carries a NOT-YET-COMPUTED one-hot lookup group as
+    ``(values, slots, scales, members)``: ``values`` [R_pad, D] arena,
+    ``slots``/``scales`` [n_oh, B], ``members`` static ((offset, size), ...)
+    with 128-aligned offsets/sizes. These features occupy the FIRST
+    ``len(members)`` feature positions (before every ``feature_map`` entry);
+    the fused interaction assembles them in-kernel from the VMEM-resident
+    arena (``fused_dot_interaction_oh``), so their [n_oh*B, D] rows never
+    round-trip HBM. ``astype`` leaves ``oh`` untouched (quantized values and
+    f32 scales keep their dtypes; the kernel produces rows in f32).
     """
 
-    def __init__(self, parts, feature_map, batch: "Optional[int]" = None):
+    def __init__(self, parts, feature_map, batch: "Optional[int]" = None,
+                 oh=None):
         self.parts = list(parts)
         self.feature_map = tuple(tuple(x) for x in feature_map)
-        self.batch = int(batch) if batch is not None else int(
-            self.parts[0].shape[1])
+        if oh is not None:
+            v, sl, sc, members = oh
+            oh = (v, sl, sc, tuple(tuple(m) for m in members))
+        self.oh = oh
+        if batch is not None:
+            self.batch = int(batch)
+        elif self.parts:
+            self.batch = int(self.parts[0].shape[1])
+        else:
+            self.batch = int(oh[1].shape[1])
+
+    @property
+    def _dim(self):
+        if self.parts:
+            return self.parts[0].shape[2]
+        return self.oh[0].shape[-1]
+
+    @property
+    def _n_oh(self):
+        return 0 if self.oh is None else len(self.oh[3])
 
     @property
     def shape(self):
-        return (self.batch, len(self.feature_map), self.parts[0].shape[2])
+        return (self.batch, self._n_oh + len(self.feature_map), self._dim)
 
     @property
     def ndim(self):
@@ -211,26 +240,59 @@ class EmbParts:
 
     @property
     def dtype(self):
-        return self.parts[0].dtype
+        return self.parts[0].dtype if self.parts else jnp.float32
 
     def astype(self, dt):
         return EmbParts(
-            [p.astype(dt) for p in self.parts], self.feature_map, self.batch
+            [p.astype(dt) for p in self.parts], self.feature_map, self.batch,
+            oh=self.oh,
+        )
+
+    def oh_rows(self):
+        """[n_oh, B, D] one-hot features materialized the XLA way (exact
+        same math as the standalone lookup stage) — the fallback when the
+        in-kernel path is ineligible."""
+        from hugectr_backend_tpu.cache.lookup_program import (
+            onehot_member_rows,
+        )
+
+        values, slots, scales, members = self.oh
+        return jnp.stack(
+            [
+                onehot_member_rows(values, off, size, slots[j])
+                * scales[j][:, None]
+                for j, (off, size) in enumerate(members)
+            ]
         )
 
     def stack(self):
-        return jnp.stack(
-            [self.parts[p][s][: self.batch] for (p, s) in self.feature_map],
-            axis=1,
-        )
+        cols = []
+        if self.oh is not None:
+            oh = self.oh_rows()
+            cols += [oh[j] for j in range(oh.shape[0])]
+        cols += [
+            self.parts[p][s][: self.batch] for (p, s) in self.feature_map
+        ]
+        return jnp.stack(cols, axis=1)
 
     def tree_flatten(self):
-        return tuple(self.parts), (self.feature_map, self.batch)
+        if self.oh is None:
+            return tuple(self.parts), (self.feature_map, self.batch, None)
+        v, sl, sc, members = self.oh
+        return (
+            tuple(self.parts) + (v, sl, sc),
+            (self.feature_map, self.batch, members),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        fmap, batch = aux
-        return cls(children, fmap, batch)
+        fmap, batch, members = aux
+        if members is None:
+            return cls(children, fmap, batch)
+        return cls(
+            children[:-3], fmap, batch,
+            oh=(children[-3], children[-2], children[-1], members),
+        )
 
 
 def _kernel_parts(*refs, dim: int, feats: int, fmap):
@@ -522,6 +584,35 @@ fused_dot_interaction_parts.defvjp(_fwd_parts, _bwd_parts)
 # static-slice hazard — see _eligible); the microbench pads its layout.
 
 
+def oh_arena_vmem_budget() -> int:
+    """Max one-hot arena bytes the in-kernel variant will pin in VMEM
+    alongside its batch blocks. The headline Criteo arena is ~1.1 MB
+    (8576 padded rows x 128 int8) and measured fine with bb=256
+    (bench_artifacts/oh_fused_ab.json); 8 MiB leaves the same headroom
+    the standalone kernels keep."""
+    import os
+
+    return int(os.environ.get("HPS_OH_ARENA_MAX_BYTES", str(8 << 20)))
+
+
+def oh_in_kernel_eligible(batch: int, dim: int, members, values) -> bool:
+    """Static eligibility for assembling the one-hot group inside the
+    interaction kernel: blockable batch, lane-aligned dim, flat (unblocked)
+    arena, 128-aligned member offsets/sizes (Mosaic's misaligned
+    static-slice hazard — see ``_eligible``), arena small enough to ride
+    whole in VMEM, and not nibble-packed int4 (the mask matmul would
+    multiply packed bytes)."""
+    return (
+        _pick_block(batch) > 0
+        and dim % 128 == 0
+        and values.ndim == 2
+        and values.dtype != jnp.uint8
+        and bool(members)
+        and all(off % 128 == 0 and sz % 128 == 0 for off, sz in members)
+        and values.size * values.dtype.itemsize <= oh_arena_vmem_budget()
+    )
+
+
 def _kernel_oh_parts(bot_ref, arena_ref, slots_ref, scales_ref, *rest,
                      dim: int, feats: int, members):
     part_refs = rest[:-1]
@@ -560,11 +651,11 @@ def _kernel_oh_parts(bot_ref, arena_ref, slots_ref, scales_ref, *rest,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("members", "interpret", "block")
+    jax.jit, static_argnames=("members", "interpret", "block", "part_rows")
 )
 def fused_dot_interaction_oh_parts(bottom, arena, slots, scales, parts,
                                    *, members, interpret=False,
-                                   block: int = 0):
+                                   block: int = 0, part_rows=None):
     """Interaction with the one-hot features gathered IN-KERNEL.
 
     bottom [B, D]; arena [R_pad, D] (small quantized one-hot arena, rides
@@ -572,10 +663,16 @@ def fused_dot_interaction_oh_parts(bottom, arena, slots, scales, parts,
     f32 host-gathered per-key dequant scales; parts: remaining feature
     chunks [n_i, B, D] (part-major after the one-hot features).
     ``members``: per one-hot feature (offset, size), offsets 128-aligned.
+    ``part_rows``: rows to fetch per part (defaults to all) — lets the
+    caller exclude phantom pow2 tail blocks from padded lookup groups so
+    they are never DMA'd into VMEM.
     """
     batch, dim = bottom.shape
     n_oh = len(members)
-    feats = 1 + n_oh + sum(p.shape[0] for p in parts)
+    fetch = tuple(
+        part_rows if part_rows is not None else (p.shape[0] for p in parts)
+    )
+    feats = 1 + n_oh + sum(fetch)
     pairs = feats * (feats - 1) // 2
     bb = block or _pick_block(batch)
     return pl.pallas_call(
@@ -595,9 +692,9 @@ def fused_dot_interaction_oh_parts(bottom, arena, slots, scales, parts,
             pl.BlockSpec((n_oh, bb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((p.shape[0], bb, dim), lambda i: (0, i, 0),
+            pl.BlockSpec((rows, bb, dim), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
-            for p in parts
+            for p, rows in zip(parts, fetch)
         ],
         out_specs=pl.BlockSpec(
             (bb, dim + pairs), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -607,10 +704,67 @@ def fused_dot_interaction_oh_parts(bottom, arena, slots, scales, parts,
             + 2 * batch * dim * sum(sz for _, sz in members),
             bytes_accessed=(
                 bottom.size * 4 + arena.size * arena.dtype.itemsize
-                + sum(p.size * p.dtype.itemsize for p in parts)
+                + sum(
+                    rows * batch * dim * p.dtype.itemsize
+                    for p, rows in zip(parts, fetch)
+                )
                 + batch * (dim + pairs) * 4
             ),
             transcendentals=0,
         ),
         interpret=interpret,
     )(bottom, arena, slots, scales, *parts)
+
+
+def fused_dot_interaction_oh(bottom, oh, parts, feature_map,
+                             interpret: bool = False):
+    """Production dispatcher for the one-hot-in-kernel interaction.
+
+    ``oh`` = (values, slots, scales, members) as carried by
+    :class:`EmbParts`; ``feature_map`` places the ``parts`` features AFTER
+    the ``len(members)`` one-hot features. When the in-kernel variant is
+    eligible (``oh_in_kernel_eligible`` + part-major map), the whole
+    one-hot lookup stage folds into the Pallas interaction (measured
+    208.0 -> 188.8 us on the one-hot+interaction stage at the headline
+    shape, bench_artifacts/oh_fused_ab.json); otherwise the one-hot rows
+    materialize via the exact XLA path and the parts kernel (or its XLA
+    fallback) takes over — identical math on every path.
+
+    Forward-only: serving never differentiates this op (training-style
+    paths use the materializing fallback via ``EmbParts.stack``).
+    """
+    values, slots, scales, members = oh
+    batch, dim = bottom.shape
+    n_oh = len(members)
+    if slots.shape != (n_oh, batch) or scales.shape != (n_oh, batch):
+        raise ValueError(
+            f"oh slots/scales must be [n_oh={n_oh}, batch={batch}]; got "
+            f"{slots.shape} / {scales.shape}"
+        )
+    kernel_ok = (
+        (interpret or _eligible(batch, dim))
+        and _pick_block(batch) > 0
+        and oh_in_kernel_eligible(batch, dim, members, values)
+        and is_part_major(feature_map)
+    )
+    if kernel_ok:
+        # Fetch only the mapped rows of each part (phantom pow2 tail
+        # blocks from padded lookup groups are never DMA'd).
+        used = [0] * len(parts)
+        for p, s in feature_map:
+            used[p] = max(used[p], s + 1)
+        if all(used):
+            return fused_dot_interaction_oh_parts(
+                bottom, values, slots, scales, tuple(parts),
+                members=members, interpret=interpret,
+                part_rows=tuple(used),
+            )
+    # Exact fallback: materialize the one-hot rows the standalone-stage way
+    # and run the parts path (which itself falls back to XLA when needed).
+    ep = EmbParts(parts, feature_map, batch, oh=oh)
+    parts2 = [ep.oh_rows().astype(bottom.dtype)] + list(parts)
+    fmap2 = tuple(
+        [(0, j) for j in range(n_oh)]
+        + [(p + 1, s) for (p, s) in feature_map]
+    )
+    return fused_dot_interaction_parts(bottom, parts2, fmap2, interpret)

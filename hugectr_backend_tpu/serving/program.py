@@ -128,9 +128,11 @@ class FusedMultiTableServer:
             slots, scin = _unpack_device_args(
                 slots_cat, scin_cat, slot_bounds, scin_bounds
             )
-            gouts = gather_rows_for_groups(vals, dscales, slots, scin, meta)
+            # Group output row-counts are knowable before the gather runs
+            # (one output row per padded slot), so the chunk/fold layout is
+            # decided first and folded groups are never looked up at all.
             chunk_plan = (
-                self._chunk_plan(slices, {g: int(gouts[g].shape[0])
+                self._chunk_plan(slices, {g: int(slots[g].shape[0])
                                           for g in {s[0] for s in slices}})
                 if chunked and all(
                     k == 1 and d == slices[0][4] for (_, _, _, k, d) in slices
@@ -155,21 +157,67 @@ class FusedMultiTableServer:
 
                 d = slices[0][4]
                 group_shape, fmap = chunk_plan
-                parts = [gouts[g].reshape(nblk, stride, d)
-                         for (g, nblk, stride) in group_shape]
-                if not is_part_major(fmap):
-                    # Reorder features part-major: the Pallas interaction
-                    # then assembles z with one transpose per PART instead
-                    # of one relayout per FEATURE (measured 213 -> 184 us
-                    # on the full dense forward at the headline shape —
-                    # bench_artifacts/parts_fm_ab.json). The assemble_fn
-                    # compensates by permuting the first top-MLP kernel
-                    # rows (exact logits; ops/fused_interaction.py
-                    # permute_dlrm_top_params).
-                    o, fmap = part_major_order(fmap)
-                    order = tuple(o)
-                embs = EmbParts(parts, fmap, batch)
+                fold = self._fold_oh_plan(meta, group_shape, fmap)
+                if fold is not None:
+                    # Fold the one-hot group into the interaction kernel:
+                    # its [n_oh*B, D] rows never materialize in HBM
+                    # (measured 208.0 -> 188.8 us on the one-hot +
+                    # interaction stage at the headline shape,
+                    # bench_artifacts/oh_fused_ab.json). The one-hot
+                    # features move to the FRONT of the feature order;
+                    # `order` + the top-MLP row permutation keep logits
+                    # exact, and fused_dot_interaction_oh falls back to
+                    # the identical-math materializing path off-TPU.
+                    pi, members, ord_l, fmap_rest, rest_parts = fold
+                    g_oh = group_shape[pi][0]
+                    stride = group_shape[pi][2]
+                    n_oh = len(members)
+                    slots_oh = slots[g_oh].reshape(n_oh, stride)[:, :batch]
+                    sc = scin[g_oh]
+                    scales_oh = (
+                        sc.reshape(n_oh, stride)[:, :batch]
+                        if sc is not None
+                        else jnp.ones((n_oh, batch), jnp.float32)
+                    )
+                    meta_eff = tuple(
+                        ("skip",) if g == g_oh else m
+                        for g, m in enumerate(meta)
+                    )
+                    gouts = gather_rows_for_groups(
+                        vals, dscales, slots, scin, meta_eff
+                    )
+                    parts = [gouts[g].reshape(nblk, stride_, d)
+                             for (g, nblk, stride_) in rest_parts]
+                    if ord_l != tuple(range(len(fmap))):
+                        order = ord_l
+                    embs = EmbParts(
+                        parts, fmap_rest, batch,
+                        oh=(vals[g_oh], slots_oh, scales_oh, members),
+                    )
+                else:
+                    gouts = gather_rows_for_groups(
+                        vals, dscales, slots, scin, meta
+                    )
+                    parts = [gouts[g].reshape(nblk, stride, d)
+                             for (g, nblk, stride) in group_shape]
+                    if not is_part_major(fmap):
+                        # Reorder features part-major: the Pallas
+                        # interaction then assembles z with one transpose
+                        # per PART instead of one relayout per FEATURE
+                        # (measured 213 -> 184 us on the full dense forward
+                        # at the headline shape —
+                        # bench_artifacts/parts_fm_ab.json). The
+                        # assemble_fn compensates by permuting the first
+                        # top-MLP kernel rows (exact logits;
+                        # ops/fused_interaction.py
+                        # permute_dlrm_top_params).
+                        o, fmap = part_major_order(fmap)
+                        order = tuple(o)
+                    embs = EmbParts(parts, fmap, batch)
             elif chunked:
+                gouts = gather_rows_for_groups(
+                    vals, dscales, slots, scin, meta
+                )
                 embs = jnp.concatenate(
                     [
                         gouts[g][start : start + cnt].reshape(batch, k, d)
@@ -178,6 +226,9 @@ class FusedMultiTableServer:
                     axis=1,
                 )
             else:
+                gouts = gather_rows_for_groups(
+                    vals, dscales, slots, scin, meta
+                )
                 embs = [
                     gouts[g][start : start + cnt].reshape(batch, k, d)
                     for (g, start, cnt, k, d) in slices
@@ -192,6 +243,60 @@ class FusedMultiTableServer:
             return call()
 
         self._fwd = fwd
+
+    @staticmethod
+    def _fold_oh_plan(meta, group_shape, fmap):
+        """Decide whether (and how) to fold a one-hot lookup group into the
+        interaction kernel. -> (part_idx, members, order, fmap_rest,
+        rest_parts) or None.
+
+        ``order``: new feature position i holds original feature order[i]
+        (the one-hot features first in member order, then the remaining
+        features part-major — the layout ops/fused_interaction.py
+        ``fused_dot_interaction_oh`` consumes); ``fmap_rest`` re-indexes the
+        post-one-hot features onto ``rest_parts`` (group_shape minus the
+        folded part). Structural only — kernel eligibility (alignment,
+        VMEM, backend) is the ops layer's call, and its fallback computes
+        identical math, so folding is always exact. Kill-switch:
+        HPS_OH_IN_KERNEL=0."""
+        import os
+
+        if os.environ.get("HPS_OH_IN_KERNEL", "1") == "0":
+            return None
+        oh_parts = [i for i, (g, _n, _s) in enumerate(group_shape)
+                    if meta[g][0] == "onehot"]
+        if len(oh_parts) != 1:
+            return None
+        pi = oh_parts[0]
+        g, nblk, stride = group_shape[pi]
+        _, offs, sizes, pcounts = meta[g]
+        members = tuple(zip(offs, sizes))
+        if nblk != len(members) or any(pc != stride for pc in pcounts):
+            return None
+        # Member j must be feature sub j of the part (holds by construction
+        # — uniform padded counts — but verify before moving features).
+        oh_feats = sorted(
+            (t for t in range(len(fmap)) if fmap[t][0] == pi),
+            key=lambda t: fmap[t][1],
+        )
+        if [fmap[t][1] for t in oh_feats] != list(range(len(members))):
+            return None
+        rest = sorted(
+            (t for t in range(len(fmap)) if fmap[t][0] != pi),
+            key=lambda t: fmap[t],
+        )
+        order = tuple(oh_feats + rest)
+        rest_parts = tuple(
+            gs for i, gs in enumerate(group_shape) if i != pi
+        )
+        pmap = {
+            old: new
+            for new, old in enumerate(
+                i for i in range(len(group_shape)) if i != pi
+            )
+        }
+        fmap_rest = tuple((pmap[fmap[t][0]], fmap[t][1]) for t in rest)
+        return pi, members, order, fmap_rest, rest_parts
 
     @staticmethod
     def _chunk_plan(slices, group_rows):

@@ -452,7 +452,15 @@ class DeviceArena:
 
 @dataclasses.dataclass
 class ArenaView:
-    """DeviceTable-compatible view of one member table inside a DeviceArena."""
+    """DeviceTable-compatible view of one member table inside a DeviceArena.
+
+    ``block_rows`` is the member's PHYSICAL row count inside the arena
+    (>= capacity + 1). One-hot arenas pad each member block to a multiple of
+    128 rows so member offsets/sizes stay lane-aligned — the requirement for
+    the in-kernel one-hot interaction variant (ops/fused_interaction.py
+    ``fused_dot_interaction_oh``; Mosaic compiles misaligned static slices
+    pathologically slowly). Pad rows replicate the default row and are never
+    selected: local slots are always <= capacity."""
 
     arena: DeviceArena
     index: KeyIndex
@@ -460,6 +468,7 @@ class ArenaView:
     dim: int
     quant: Quant
     default_value: float
+    block_rows: int = 0  # physical rows; 0 -> capacity + 1
 
     @property
     def capacity(self) -> int:
@@ -533,12 +542,24 @@ def build_arena_views(
 
     vals_parts, scales_parts, views_meta = [], [], []
     offset = 0
+    # One-hot arenas pad every member block to a 128-row multiple: member
+    # offsets/sizes become lane-aligned, which (a) the in-kernel one-hot
+    # interaction requires (see ArenaView.block_rows) and (b) keeps the
+    # standalone one-hot MXU masks tile-aligned. Pad rows repeat the
+    # member's default row; slots never land there (local <= capacity).
+    align = 128 if lookup_kind == "onehot" else 1
     for (index, v, s), dv in zip(prepped, default_values):
+        rows = v.shape[0]
+        block = -(-rows // align) * align
+        if block != rows:
+            v = np.concatenate([v, np.repeat(v[-1:], block - rows, axis=0)])
+            if s is not None:
+                s = np.concatenate([s, np.repeat(s[-1:], block - rows)])
         vals_parts.append(v)
         if s is not None:
             scales_parts.append(s)
-        views_meta.append((index, offset, dv))
-        offset += v.shape[0]
+        views_meta.append((index, offset, dv, block))
+        offset += block
     vals = np.concatenate(vals_parts)
     scales = np.concatenate(scales_parts) if scales_parts else None
     total_rows = int(vals.shape[0])
@@ -557,8 +578,8 @@ def build_arena_views(
     )
     return [
         ArenaView(arena=arena, index=index, offset=off, dim=dim, quant=quant,
-                  default_value=dv)
-        for index, off, dv in views_meta
+                  default_value=dv, block_rows=block)
+        for index, off, dv, block in views_meta
     ]
 
 

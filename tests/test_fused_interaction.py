@@ -331,3 +331,49 @@ def test_oh_in_kernel_parity():
     want = _xla_reference(bot, jnp.asarray(emb))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=0.2)
+
+
+def test_oh_wrapper_kernel_vs_fallback():
+    """fused_dot_interaction_oh: the kernel path (aligned members,
+    interpret) and the materializing fallback (misaligned members) must
+    agree with each other and with the XLA reference."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        fused_dot_interaction_oh,
+        oh_in_kernel_eligible,
+    )
+
+    rng = np.random.default_rng(1)
+    B, D = 32, 128
+    members = ((0, 256), (256, 128))
+    arena = jnp.asarray(rng.integers(-127, 128, (384, D)), jnp.int8)
+    slots = np.stack([
+        rng.integers(off, off + sz - 8, B) for off, sz in members
+    ]).astype(np.int32)
+    scales = ((rng.random((2, B)) + 0.5) / 127.0).astype(np.float32)
+    parts = (jnp.asarray(rng.standard_normal((2, B, D)) * 0.1, jnp.float32),)
+    fmap = ((0, 0), (0, 1))
+    bot = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    assert oh_in_kernel_eligible(B, D, members, arena)
+    got_k = fused_dot_interaction_oh(
+        bot, (arena, jnp.asarray(slots), jnp.asarray(scales), members),
+        list(parts), fmap, interpret=True)
+
+    # Misaligned member offsets -> ineligible -> materializing fallback.
+    bad = ((0, 250), (250, 134))
+    assert not oh_in_kernel_eligible(B, D, bad, arena)
+    got_f = fused_dot_interaction_oh(
+        bot, (arena, jnp.asarray(slots), jnp.asarray(scales), bad),
+        list(parts), fmap, interpret=True)
+
+    oh_rows = (np.asarray(arena)[slots].astype(np.float32)
+               * scales[:, :, None])
+    emb = np.concatenate(
+        [oh_rows.transpose(1, 0, 2), np.asarray(parts[0]).transpose(1, 0, 2)],
+        axis=1)
+    want = np.asarray(_xla_reference(bot, jnp.asarray(emb)))
+    np.testing.assert_allclose(np.asarray(got_k), want, rtol=0, atol=0.2)
+    np.testing.assert_allclose(np.asarray(got_f), want, rtol=0, atol=0.2)
+    # Kernel and fallback agree tightly (both bf16 contractions).
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(got_f),
+                               rtol=0, atol=0.05)

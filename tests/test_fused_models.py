@@ -407,3 +407,157 @@ def test_fused_dlrm_part_major_reorder_exact(tmp_path_factory):
     want = np.asarray(model.apply(mp, jnp.asarray(dense),
                                   jnp.asarray(emb_true)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _mk_dlrm_mixed(tmp_path, name, dim, sizes, quant_bits):
+    tbls = [make_synthetic_table(n, dim, seed=90 + t)
+            for t, n in enumerate(sizes)]
+    for t, tbl in enumerate(tbls):
+        write_sparse_model(tmp_path / f"{name}_t{t}", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create(
+        {
+            "models": [
+                {
+                    "model": name,
+                    "sparse_files": [str(tmp_path / f"{name}_t{t}")
+                                     for t in range(len(sizes))],
+                    "embedding_vecsize_per_table": [dim] * len(sizes),
+                    "maxnum_catfeature_query_per_table_per_sample":
+                        [1] * len(sizes),
+                    "gpucacheper": 1.0,
+                    "embedding_cache_type": "static",
+                    "quant_bits": quant_bits,
+                }
+            ]
+        }
+    )
+    return ps, tbls
+
+
+def test_fused_dlrm_oh_fold_exact_cpu(tmp_path_factory):
+    """Folding the one-hot group into the interaction (serving/program.py
+    _fold_oh_plan) must preserve logits EXACTLY vs the kill-switch path:
+    on CPU both run the identical XLA math, differing only in feature
+    order + the compensating top-MLP row permutation."""
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.serving.program import make_dlrm_multi_server
+
+    root = tmp_path_factory.mktemp("dlrm_ohfold")
+    dim = 8
+    sizes = [300, 8000, 400, 9000, 500]
+    ps, tbls = _mk_dlrm_mixed(root, "dlrm", dim, sizes, 32)
+    cache = ps.get_embedding_cache("dlrm", 0)
+    # One-hot arena member blocks are 128-row aligned (the in-kernel
+    # variant's layout requirement; tiers/hbm.py build_arena_views).
+    for tbl in cache.tables:
+        ar = getattr(tbl, "arena", None)
+        if ar is not None and ar.lookup_kind == "onehot":
+            assert tbl.offset % 128 == 0 and tbl.block_rows % 128 == 0
+            assert tbl.block_rows >= tbl.capacity + 1
+    b, nd = 8, 4
+    model = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    rng = np.random.default_rng(8)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, len(sizes), dim)))
+    keys = [tbls[t].keys[rng.integers(0, sizes[t], (b, 1))]
+            for t in range(len(sizes))]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+
+    srv = make_dlrm_multi_server(ps.get_model_params("dlrm"), cache,
+                                 model, mp)
+    got = np.asarray(srv.predict(keys, dense))
+    import os
+    os.environ["HPS_OH_IN_KERNEL"] = "0"
+    try:
+        srv2 = make_dlrm_multi_server(ps.get_model_params("dlrm"), cache,
+                                      model, mp)
+        want = np.asarray(srv2.predict(keys, dense))
+    finally:
+        del os.environ["HPS_OH_IN_KERNEL"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # And vs ground truth embeddings.
+    emb_true = np.stack(
+        [expected_vector(keys[t].reshape(-1), dim)
+         for t in range(len(sizes))], axis=1)
+    full = np.asarray(model.apply(mp, jnp.asarray(dense),
+                                  jnp.asarray(emb_true)))
+    np.testing.assert_allclose(got, full, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dlrm_oh_fold_kernel_interpret(tmp_path_factory, monkeypatch):
+    """HPS_PALLAS_INTERPRET=1 drives the REAL one-hot-in-kernel Pallas body
+    (interpreted) through the full serving path: the fold plan must be
+    taken, fused_dot_interaction_oh_parts must actually run, and logits
+    must match the unfused path to bf16-contraction tolerance."""
+    import hugectr_backend_tpu.ops.fused_interaction as fi
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.serving.program import make_dlrm_multi_server
+
+    root = tmp_path_factory.mktemp("dlrm_ohk")
+    dim = 128  # kernel requires lane-aligned dim
+    sizes = [300, 8000, 400, 500]
+    ps, tbls = _mk_dlrm_mixed(root, "dlrmk", dim, sizes, 8)
+    cache = ps.get_embedding_cache("dlrmk", 0)
+    b, nd = 8, 4
+    model = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    rng = np.random.default_rng(9)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, len(sizes), dim)))
+    keys = [tbls[t].keys[rng.integers(0, sizes[t], (b, 1))]
+            for t in range(len(sizes))]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+
+    calls = {"n": 0}
+    orig = fi.fused_dot_interaction_oh_parts
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fi, "fused_dot_interaction_oh_parts", spy)
+    monkeypatch.setenv("HPS_PALLAS_INTERPRET", "1")
+    srv = make_dlrm_multi_server(ps.get_model_params("dlrmk"), cache,
+                                 model, mp)
+    got = np.asarray(srv.predict(keys, dense))
+    assert calls["n"] >= 1, "one-hot-in-kernel path was not taken"
+
+    monkeypatch.delenv("HPS_PALLAS_INTERPRET")
+    monkeypatch.setenv("HPS_OH_IN_KERNEL", "0")
+    srv2 = make_dlrm_multi_server(ps.get_model_params("dlrmk"), cache,
+                                  model, mp)
+    want = np.asarray(srv2.predict(keys, dense))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 5e-3, rel
+
+
+def test_fused_dlrm_all_onehot_fold(tmp_path_factory):
+    """Every table tiny (single one-hot group, zero parts): the fold must
+    still serve exact logits through the empty-parts EmbParts."""
+    from hugectr_backend_tpu.models.dlrm import DLRM
+    from hugectr_backend_tpu.serving.program import make_dlrm_multi_server
+
+    root = tmp_path_factory.mktemp("dlrm_allon")
+    dim = 8
+    sizes = [30, 50, 20]
+    ps, tbls = _mk_dlrm_mixed(root, "dlrmo", dim, sizes, 32)
+    cache = ps.get_embedding_cache("dlrmo", 0)
+    kinds = {getattr(getattr(tbl, "arena", None), "lookup_kind", "solo")
+             for tbl in cache.tables}
+    assert kinds == {"onehot"}
+    b, nd = 8, 4
+    model = DLRM(bottom_widths=(16, dim), top_widths=(16, 1))
+    rng = np.random.default_rng(10)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((b, nd)),
+                    jnp.zeros((b, len(sizes), dim)))
+    srv = make_dlrm_multi_server(ps.get_model_params("dlrmo"), cache,
+                                 model, mp)
+    keys = [tbls[t].keys[rng.integers(0, sizes[t], (b, 1))]
+            for t in range(len(sizes))]
+    dense = rng.standard_normal((b, nd)).astype(np.float32)
+    got = np.asarray(srv.predict(keys, dense))
+    emb_true = np.stack(
+        [expected_vector(keys[t].reshape(-1), dim)
+         for t in range(len(sizes))], axis=1)
+    want = np.asarray(model.apply(mp, jnp.asarray(dense),
+                                  jnp.asarray(emb_true)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
