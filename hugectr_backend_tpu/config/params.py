@@ -480,6 +480,16 @@ class InferenceParams:
     # TPU-native extensions (not in reference ps.json; safe defaults)
     quant_bits: int = 8  # 4 (int4 packed) | 8 (int8) | 16 (bf16) | 32 (fp32); fp8_quant overrides
     table_shard_axis: str = "table"  # mesh axis name for sharded tables
+    # Capacity partitioning: row-shard every table of this model across the
+    # devices in deployed_device_list and serve with ICI-collective lookups
+    # (parallel/sharded_table.py). The TPU translation of the reference's
+    # multi-node volatile-db partitioning (``num_partitions``, reference
+    # docs/hierarchical_parameter_server.md:435-444) — there capacity scales
+    # by adding Redis nodes queried over RPC; here by sharding over the
+    # mesh's aggregate HBM inside one XLA program.
+    shard_tables: bool = False
+    num_shards: int = 0  # 0 -> len(deployed_device_list)
+    shard_strategy: str = "all_to_all"  # or "psum" (parallel/sharded_table.py)
 
     @classmethod
     def from_json(cls, obj: Mapping[str, Any]) -> "InferenceParams":
@@ -577,6 +587,11 @@ class InferenceParams:
         )
         d.quant_bits = _get(obj, "quant_bits", d.quant_bits, False, _as_int)
         d.table_shard_axis = _get(obj, "table_shard_axis", d.table_shard_axis, False, _as_str)
+        d.shard_tables = _get(obj, "shard_tables", d.shard_tables, False, _as_bool)
+        d.num_shards = _get(obj, "num_shards", d.num_shards, False, _as_int)
+        d.shard_strategy = _get(
+            obj, "shard_strategy", d.shard_strategy, False, _as_str
+        )
         d.validate()
         return d
 
@@ -652,6 +667,64 @@ class InferenceParams:
             raise ConfigError(
                 f"model {self.model_name!r}: gpucacheper must be in [0, 1]"
             )
+        if self.shard_strategy not in ("all_to_all", "psum"):
+            raise ConfigError(
+                f"model {self.model_name!r}: shard_strategy must be "
+                f"'all_to_all' or 'psum', got {self.shard_strategy!r}"
+            )
+        if self.num_shards < 0:
+            raise ConfigError(
+                f"model {self.model_name!r}: num_shards must be >= 0"
+            )
+        if self.shard_tables:
+            shards = self.num_shards or len(self.deployed_devices)
+            if shards < 2:
+                raise ConfigError(
+                    f"model {self.model_name!r}: shard_tables needs >= 2 "
+                    "shards (set num_shards or list >= 2 devices in "
+                    "deployed_device_list)"
+                )
+            if self.num_shards and self.num_shards > len(self.deployed_devices):
+                raise ConfigError(
+                    f"model {self.model_name!r}: num_shards "
+                    f"{self.num_shards} exceeds deployed_device_list size "
+                    f"{len(self.deployed_devices)}"
+                )
+            if self.fp8_quant:
+                raise ConfigError(
+                    f"model {self.model_name!r}: shard_tables does not "
+                    "support fp8_quant (use quant_bits 4/8/16/32)"
+                )
+            if not self.table_shard_axis:
+                raise ConfigError(
+                    f"model {self.model_name!r}: table_shard_axis must be "
+                    "non-empty when shard_tables is set"
+                )
+            if self.embedding_cache_type != EmbeddingCacheType.STATIC:
+                raise ConfigError(
+                    f"model {self.model_name!r}: shard_tables serves the "
+                    "full partitioned capacity (no per-device eviction); "
+                    'set "embedding_cache_type": "static"'
+                )
+
+    @property
+    def instance_devices(self) -> "list[int]":
+        """Devices that get a serving instance (session + batcher).
+
+        Unsharded models serve one replicated instance per entry of
+        ``deployed_device_list`` (reference backend.cpp:418-425 instance
+        routing). Sharded models span the WHOLE list with one mesh-wide
+        instance — the list is the mesh, not a replica set."""
+        if self.shard_tables:
+            return [self.deployed_devices[0]]
+        return self.deployed_devices
+
+    @property
+    def shard_devices(self) -> "list[int]":
+        """The device ids forming the table-shard mesh (first ``num_shards``
+        entries of deployed_device_list; the whole list when 0)."""
+        n = self.num_shards or len(self.deployed_devices)
+        return self.deployed_devices[:n]
 
 
 @dataclasses.dataclass

@@ -100,7 +100,20 @@ class ShardedTable:
         index, order = KeyIndex.build(keys)
         vectors = vectors[order]
         n, dim = vectors.shape
-        n_shards = mesh.shape["table"]
+        # The shard axis: "table" when the mesh has one (the library
+        # convention, incl. multi-axis tp x dp meshes), else the mesh's
+        # single axis (the config path names it ps.json's table_shard_axis —
+        # parallel/sharded_cache.py builds that mesh 1-axis).
+        if "table" in mesh.axis_names:
+            axis = "table"
+        elif len(mesh.axis_names) == 1:
+            axis = mesh.axis_names[0]
+        else:
+            raise ValueError(
+                f"cannot infer the shard axis from mesh axes "
+                f"{mesh.axis_names}; name one of them 'table'"
+            )
+        n_shards = mesh.shape[axis]
         # Pad so that (rows + 1 default row) divides evenly over shards.
         r_pad = -((n + 1) // -n_shards) * n_shards
         pad_rows = r_pad - n
@@ -149,8 +162,8 @@ class ShardedTable:
         if scales is not None:
             scales = scales[inv]
 
-        vsharding = NamedSharding(mesh, P("table", None))
-        ssharding = NamedSharding(mesh, P("table"))
+        vsharding = NamedSharding(mesh, P(axis, None))
+        ssharding = NamedSharding(mesh, P(axis))
         table = cls(
             values=jax.device_put(vals, vsharding),
             scales=jax.device_put(scales, ssharding) if scales is not None else None,
@@ -167,8 +180,19 @@ class ShardedTable:
     def slots_for(self, keys: np.ndarray) -> np.ndarray:
         return self.index.lookup(keys)
 
+    @property
+    def capacity(self) -> int:
+        """Resident-row count (DeviceTable-compatible; the serving batcher
+        keys its pow2 bucket grid off this)."""
+        return self.index.capacity
+
+    @property
+    def shard_axis(self) -> str:
+        return ("table" if "table" in self.mesh.axis_names
+                else self.mesh.axis_names[0])
+
     def nbytes_per_shard(self) -> int:
-        n_shards = self.mesh.shape["table"]
+        n_shards = self.mesh.shape[self.shard_axis]
         n = self.values.size * self.values.dtype.itemsize
         if self.scales is not None:
             n += self.scales.size * self.scales.dtype.itemsize
@@ -184,16 +208,17 @@ def _rows_to_f32(rows: jax.Array) -> jax.Array:
     return rows.astype(jnp.float32)
 
 
-def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int):
+def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int,
+                     axis: str = "table"):
     """Build the shard_map psum-lookup: (values, scales, slots) -> [N, D]."""
-    n_shards = mesh.shape["table"]
+    n_shards = mesh.shape[axis]
     shard_rows = rows_padded // n_shards
 
     def gather_local(values_l, scales_l, slots):
         # values_l: [shard_rows, D] local block; slots: [N] replicated
         # LOGICAL slots. Interleaved placement: shard k owns slots with
         # slot % n_shards == k at local row slot // n_shards.
-        shard_id = jax.lax.axis_index("table")
+        shard_id = jax.lax.axis_index(axis)
         mine = (slots % n_shards) == shard_id
         local = slots // n_shards
         mine = mine & (local < shard_rows)
@@ -202,13 +227,13 @@ def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int):
         if scales_l is not None:
             rows = rows * jnp.take(scales_l, safe)[:, None]
         rows = jnp.where(mine[:, None], rows, 0.0)
-        return jax.lax.psum(rows, "table")
+        return jax.lax.psum(rows, axis)
 
     if has_scales:
-        in_specs = (P("table", None), P("table"), P())
+        in_specs = (P(axis, None), P(axis), P())
         fn = gather_local
     else:
-        in_specs = (P("table", None), P())
+        in_specs = (P(axis, None), P())
         fn = lambda v, s: gather_local(v, None, s)
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P())
 
@@ -263,27 +288,27 @@ def plan_all_to_all(
     return buckets, expand
 
 
-def _a2a_shardmap(mesh: Mesh, has_scales: bool):
+def _a2a_shardmap(mesh: Mesh, has_scales: bool, axis: str = "table"):
     """Build the all_to_all-lookup: (values, [scales,] buckets, expand) ->
     replicated [N, D] f32. Each shard gathers its own deduped bucket; the
     row blocks ride ONE all_gather over ICI; a local take expands back.
     Shape-polymorphic over the bucket capacity (jit retraces per cap)."""
 
     def gather_exchange(values_l, scales_l, buckets, expand):
-        o = jax.lax.axis_index("table")
+        o = jax.lax.axis_index(axis)
         mine = jax.lax.dynamic_index_in_dim(buckets, o, axis=0,
                                             keepdims=False)  # [cap]
         rows = _rows_to_f32(jnp.take(values_l, mine, axis=0))
         if scales_l is not None:
             rows = rows * jnp.take(scales_l, mine)[:, None]
-        allr = jax.lax.all_gather(rows, "table", axis=0)  # [n, cap, D]
+        allr = jax.lax.all_gather(rows, axis, axis=0)  # [n, cap, D]
         return jnp.take(allr.reshape(-1, rows.shape[-1]), expand, axis=0)
 
     if has_scales:
-        in_specs = (P("table", None), P("table"), P(), P())
+        in_specs = (P(axis, None), P(axis), P(), P())
         fn = gather_exchange
     else:
-        in_specs = (P("table", None), P(), P())
+        in_specs = (P(axis, None), P(), P())
         fn = lambda v, b, e: gather_exchange(v, None, b, e)
     # check_vma=False: each shard picks ITS bucket via axis_index, so the
     # checker can't statically prove the post-all_gather output is

@@ -213,16 +213,62 @@ class HierParameterServer:
             per_device: dict[int, EmbeddingCache] = {}
             devices = jax.devices()
             host_tables = self._prep_model_tables(params)
-            for dev_id in params.deployed_devices:
-                if dev_id >= len(devices):
-                    raise ConfigError(
-                        f"deployed_device_list entry {dev_id} out of range; "
-                        f"{len(devices)} devices visible"
-                    )
-                per_device[dev_id] = self._build_cache(
-                    params, devices[dev_id], host_tables)
+            if params.shard_tables:
+                # Capacity partitioning by config (the reference's
+                # ``num_partitions`` Redis partitioning, docs/
+                # hierarchical_parameter_server.md:435-444): ONE mesh-wide
+                # sharded cache spanning deployed_device_list, served by a
+                # single instance through the standard scheduler path.
+                cache = self._build_sharded_cache(params, host_tables)
+                per_device[params.instance_devices[0]] = cache
+            else:
+                for dev_id in params.deployed_devices:
+                    if dev_id >= len(devices):
+                        raise ConfigError(
+                            f"deployed_device_list entry {dev_id} out of "
+                            f"range; {len(devices)} devices visible"
+                        )
+                    per_device[dev_id] = self._build_cache(
+                        params, devices[dev_id], host_tables)
             self._caches[model_name] = per_device
             self._model_versions.setdefault(model_name, 1)
+
+    def _build_sharded_cache(self, params: InferenceParams, host_tables):
+        """Row-shard every table over the mesh built from the model's
+        deployed_device_list (parallel/sharded_cache.py)."""
+        from hugectr_backend_tpu.parallel.sharded_cache import (
+            ShardedEmbeddingCache,
+            build_shard_mesh,
+        )
+        from hugectr_backend_tpu.parallel.sharded_table import ShardedTable
+
+        quant = self._quant_mode(params)
+        mesh = build_shard_mesh(params)
+        tables = []
+        for t, (keys, vecs) in enumerate(host_tables):
+            try:
+                tables.append(
+                    ShardedTable.from_numpy(
+                        keys, vecs, mesh, quant=quant,
+                        default_value=params.default_value_for_table(t),
+                    )
+                )
+            except NotImplementedError as e:
+                raise ConfigError(
+                    f"model {params.model_name!r} table {t}: {e}"
+                ) from None
+        tier_query = lambda ti, keys, m=params.model_name, p=params: (
+            self._query_tiers(table_tag(m, p.table_name(ti)), keys)
+        )
+        log.info(
+            "sharded model %s: %d tables over %d-device mesh (axis %r, "
+            "%s, %s), %.1f MB/shard",
+            params.model_name, len(tables), mesh.shape[params.table_shard_axis],
+            params.table_shard_axis, params.shard_strategy, quant,
+            sum(t.nbytes_per_shard() for t in tables) / 1e6,
+        )
+        return ShardedEmbeddingCache(params, tables, mesh,
+                                     tier_query=tier_query)
 
     def _quant_mode(self, params: InferenceParams) -> str:
         if not params.use_gpu_embedding_cache:

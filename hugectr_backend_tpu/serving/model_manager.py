@@ -98,7 +98,10 @@ class ModelManager:
                 if model_name not in self.ps._caches:
                     self.ps.create_embedding_cache_per_model(model_name)
                 m = _LoadedModel(params, new_version)
-                for dev in params.deployed_devices:
+                # Sharded models span deployed_device_list with ONE
+                # mesh-wide instance (params.instance_devices); replicated
+                # models get one instance per listed device.
+                for dev in params.instance_devices:
                     cache = self.ps.get_embedding_cache(model_name, dev)
                     sess = LookupSession.create(params, cache)
                     m.sessions[dev] = sess
@@ -144,7 +147,7 @@ class ModelManager:
         if not m.params.freeze_sparse:
             self.ps.update_database_per_model(m.params)
         if m.params.use_gpu_embedding_cache:
-            for dev in m.params.deployed_devices:
+            for dev in m.params.instance_devices:
                 self.ps.refresh_embedding_cache(model_name, dev)
                 cache = self.ps.get_embedding_cache(model_name, dev)
                 for t in range(cache.num_tables):
