@@ -430,34 +430,63 @@ def tier_latency_stage():
     vecs = rng.standard_normal((rows, dim)).astype(np.float32)
     for i in range(0, rows, 250_000):
         dram.insert("hps_et.bench.t", keys[i:i + 250_000], vecs[i:i + 250_000])
-    qk = keys[rng.integers(0, rows, nq)]
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        dram.query("hps_et.bench.t", qk)
-        best = min(best, time.perf_counter() - t0)
-    dram_us = best * 1e6
-
     tmp = tempfile.mkdtemp(prefix="hps_bench_ssd_")
     ssd = SsdKVTier(PersistentDatabaseParams(path=tmp))
     ssd.create_table("hps_et.bench.s", dim)
     for i in range(0, ssd_rows, 100_000):
         ssd.insert("hps_et.bench.s", keys[i:i + 100_000], vecs[i:i + 100_000])
-    qs = keys[rng.integers(0, ssd_rows, nq)]
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        ssd.query("hps_et.bench.s", qs)
-        best = min(best, time.perf_counter() - t0)
-    ssd_us = best * 1e6
+
+    # Multi-round interleaved medians (the scripts/tier_query_ab.py protocol
+    # that settled the r2/r3 "regression" as host noise, VERDICT r4 weak #5):
+    # single-session point-samples on a shared host moved 70.5 -> 144.9
+    # ns/key between rounds on IDENTICAL code. Rounds interleave dram/ssd
+    # with per-round key sets; report median + (max-min)/median spread.
+    rounds = 3 if smoke else 9
+    samples = {"dram": [], "ssd": []}
+    for rd in range(rounds):
+        qk = keys[rng.integers(0, rows, nq)]
+        qs = keys[rng.integers(0, ssd_rows, nq)]
+        for name, tier, tag, q in (
+            ("dram", dram, "hps_et.bench.t", qk),
+            ("ssd", ssd, "hps_et.bench.s", qs),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                tier.query(tag, q)
+                best = min(best, time.perf_counter() - t0)
+            samples[name].append(best * 1e6)
     ssd.close()
-    return {
+    dram_us = float(np.median(samples["dram"]))
+    ssd_us = float(np.median(samples["ssd"]))
+    spread = {
+        n: round((max(s) - min(s)) / max(float(np.median(s)), 1e-9), 3)
+        for n, s in samples.items()
+    }
+    out = {
         "dram_tier_query_us": round(dram_us, 1),
         "dram_tier_ns_per_key": round(dram_us * 1e3 / nq, 1),
         "ssd_tier_query_us": round(ssd_us, 1),
         "ssd_tier_ns_per_key": round(ssd_us * 1e3 / nq, 1),
         "tier_query_keys": nq,
+        "tier_protocol": f"interleaved x{rounds} rounds, min-of-2 per "
+                         "round, median; spread=(max-min)/median",
+        "tier_spread": spread,
     }
+    if not smoke:
+        try:
+            hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_artifacts", "tier_history.jsonl")
+            with open(hist, "a") as f:
+                f.write(json.dumps({
+                    "samples_us": {n: [round(x, 1) for x in s]
+                                   for n, s in samples.items()},
+                    "median_us": {"dram": round(dram_us, 1),
+                                  "ssd": round(ssd_us, 1)},
+                }) + "\n")
+        except OSError:
+            pass
+    return out
 
 
 def host_translate_stage(batch):
@@ -485,13 +514,20 @@ def host_translate_stage(batch):
         idxs.append(idx)
         batches.append(keys[rng.zipf(1.05, batch) % c])
     translate_indexes_batch(idxs, batches)
-    best = float("inf")
-    for _ in range(20):
-        t0 = time.perf_counter()
-        translate_indexes_batch(idxs, batches)
-        best = min(best, time.perf_counter() - t0)
+    # Median of per-round minima (see tier_latency_stage protocol note).
+    rounds = []
+    for _ in range(9):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            translate_indexes_batch(idxs, batches)
+            best = min(best, time.perf_counter() - t0)
+        rounds.append(best)
+    best = float(np.median(rounds))
     return {
         "host_translate_us": round(best * 1e6, 1),
+        "host_translate_spread": round(
+            (max(rounds) - min(rounds)) / max(best, 1e-12), 3),
         "host_translate_ns_per_key": round(
             best * 1e9 / (batch * len(CRITEO_CARDS)), 1),
         "host_translate_cpus": multiprocessing.cpu_count(),
