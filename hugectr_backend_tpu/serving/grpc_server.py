@@ -262,11 +262,21 @@ class KServeGrpcService:
                     np.asarray(inputs["KEYS"], np.int64).reshape(-1),
                     np.asarray(inputs["NUMKEYS"], np.int64).reshape(-1),
                 )
-                outputs = {"OUTPUT0": resp.output}
-                params = {
-                    "NumSample": pb2.InferParameter(int64_param=resp.num_samples),
-                    "DeviceID": pb2.InferParameter(int64_param=resp.device_id),
-                }
+                # Hot path: frame the response by hand straight from the
+                # output buffer (serving/pb_wire.py — one copy instead of
+                # the tobytes -> message -> SerializeToString three); the
+                # method's response_serializer passes bytes through.
+                from hugectr_backend_tpu.serving.pb_wire import (
+                    infer_response_bytes,
+                )
+
+                out = np.ascontiguousarray(resp.output, dtype="<f4")
+                return infer_response_bytes(
+                    name, request.model_version or "1", request.id,
+                    {"NumSample": resp.num_samples,
+                     "DeviceID": resp.device_id},
+                    "OUTPUT0", "FP32", [int(out.shape[0])], out,
+                )
         except RequestError as e:
             if tracked:
                 metrics.REQUEST_FAIL.inc(model=name)
@@ -322,7 +332,11 @@ class HpsGrpcServer:
             method: grpc.unary_unary_rpc_method_handler(
                 fn,
                 request_deserializer=req_cls.FromString,
-                response_serializer=lambda msg: msg.SerializeToString(),
+                # bytes pass through untouched — the ModelInfer hot path
+                # pre-frames its response (serving/pb_wire.py).
+                response_serializer=lambda msg: (
+                    msg if isinstance(msg, bytes) else msg.SerializeToString()
+                ),
             )
             for method, (req_cls, fn) in rpcs.items()
         }

@@ -246,7 +246,18 @@ class ContinuousBatcher:
         with annotate(f"ProcessBatch/{model}"):
             counts = np.stack([r.num_keys for r in batch])  # [R, T]
             totals = counts.sum(axis=0)
-            merged = merge_requests([r.keys for r in batch], counts, totals)
+            if len(batch) == 1:
+                # Single-request batch: the per-table runs are just views
+                # into the request's KEYS buffer — skip the merge copy.
+                offs = np.zeros(n_tables + 1, np.int64)
+                np.cumsum(totals, out=offs[1:])
+                merged = [
+                    batch[0].keys[offs[t]: offs[t + 1]]
+                    for t in range(n_tables)
+                ]
+            else:
+                merged = merge_requests([r.keys for r in batch], counts,
+                                        totals)
             # Pad each table's merged run to its power-of-two bucket
             # at the SLOT level (default-row pads — never a miss, no
             # residency dependence). This pins the compiled-signature
@@ -262,6 +273,22 @@ class ContinuousBatcher:
                 self.session.lookup_flat(merged, pad_counts=pad_counts)
             )
             t_flat = time.perf_counter()
+        if len(batch) == 1 and pad_counts == [m.shape[0] for m in merged]:
+            # Zero-copy response: with one request and no slot padding
+            # (pow2-sized counts), the flat device output IS the request's
+            # OUTPUT0 — skip the 1+ MB regroup copy entirely.
+            if flat.flags.writeable:
+                flat.flags.writeable = False
+            r = batch[0]
+            r.future.set_result(
+                InferResponse(
+                    output=flat,
+                    num_samples=r.num_samples,
+                    device_id=self.device_id,
+                )
+            )
+            self._finish_metrics(model, t0, t_merge, t_flat, n_tables, batch)
+            return
         # Split back per request: flat is table-major with runs PADDED to
         # pad_counts rows; within a table, requests appear in merge order.
         # Each response is a zero-copy view into one regrouped buffer.
@@ -287,6 +314,12 @@ class ContinuousBatcher:
                     device_id=self.device_id,
                 )
             )
+        self._finish_metrics(model, t0, t_merge, t_flat, n_tables, batch)
+
+    def _finish_metrics(self, model, t0, t_merge, t_flat, n_tables,
+                        batch=None):
+        """Per-batch metrics tail, shared by the regroup path and the
+        single-request zero-copy fast path."""
         # Export the per-table EWMA cache hit rate (reference
         # docs/metrics.md cache metrics; VERDICT r1 weakness 9: tracked but
         # never exported). Refreshed every 32 batches — per-batch gauge
@@ -306,7 +339,8 @@ class ContinuousBatcher:
         metrics.BATCH_SW_SECONDS.observe(
             (t_merge - t0) + (t_resp - t_flat), model=model
         )
-        dt = time.perf_counter() - t0
+        if batch is None:
+            return
         metrics.REQUEST_COUNT.inc(len(batch), model=model)
         metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)
         metrics.BATCH_SIZE.observe(sum(r.num_samples for r in batch), model=model)
@@ -314,7 +348,6 @@ class ContinuousBatcher:
             metrics.REQUEST_LATENCY.observe(
                 time.perf_counter() - r.enqueue_time, model=model
             )
-        _ = dt
 
     def shutdown(self):
         self._stopped.set()

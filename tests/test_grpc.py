@@ -251,3 +251,41 @@ def test_malformed_request_fuzz(served):
     )
     out = np.frombuffer(resp.raw_output_contents[0], "<f4").reshape(3, 16)
     np.testing.assert_allclose(out, expected_vector(q, 16), rtol=1e-5)
+
+
+def test_pb_wire_matches_generated_serializer():
+    """The hand-rolled hot-path response framing (serving/pb_wire.py) must
+    parse back to exactly the message the protoc-generated path builds."""
+    import numpy as np
+
+    from hugectr_backend_tpu.serving import kserve_pb
+    from hugectr_backend_tpu.serving.pb_wire import infer_response_bytes
+
+    pb2 = kserve_pb.load()
+    out = np.arange(37, dtype="<f4")
+    wire = infer_response_bytes(
+        "dlrm", "3", "req-9", {"NumSample": 5, "DeviceID": 0},
+        "OUTPUT0", "FP32", [37], out,
+    )
+    msg = pb2.ModelInferResponse.FromString(wire)
+    assert msg.model_name == "dlrm" and msg.model_version == "3"
+    assert msg.id == "req-9"
+    assert msg.parameters["NumSample"].int64_param == 5
+    assert msg.parameters["DeviceID"].int64_param == 0
+    assert len(msg.outputs) == 1
+    t = msg.outputs[0]
+    assert (t.name, t.datatype, list(t.shape)) == ("OUTPUT0", "FP32", [37])
+    got = np.frombuffer(msg.raw_output_contents[0], "<f4")
+    np.testing.assert_array_equal(got, out)
+
+    # Reference equivalence: build the same message with the generated API
+    # and compare the parsed forms field by field.
+    ref = pb2.ModelInferResponse(
+        model_name="dlrm", model_version="3", id="req-9",
+        parameters={"NumSample": pb2.InferParameter(int64_param=5),
+                    "DeviceID": pb2.InferParameter(int64_param=0)},
+        outputs=[pb2.ModelInferResponse.InferOutputTensor(
+            name="OUTPUT0", datatype="FP32", shape=[37])],
+        raw_output_contents=[out.tobytes()],
+    )
+    assert msg == ref
