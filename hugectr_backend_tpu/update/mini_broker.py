@@ -71,6 +71,7 @@ class MiniKafkaBroker:
         self.rebalance_window_s = 0.5
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._conns: list[socket.socket] = []
         self._accept_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------- control
@@ -84,10 +85,34 @@ class MiniKafkaBroker:
 
     def stop(self):
         self._stop.set()
+        # shutdown() wakes the thread blocked in accept() — close() alone
+        # leaves it parked in the syscall, which keeps the kernel's LISTEN
+        # socket alive and blocks a failover broker from rebinding the port.
+        try:
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
             pass
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=2)
+        # Close live connection sockets too: handler threads block in recv
+        # and would otherwise pin ESTABLISHED sockets on this port, which
+        # blocks a failover broker from rebinding the same address (the
+        # coordinator-failover fault tests restart on the same port).
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         for t in self._threads:
             t.join(timeout=2)
 
@@ -105,9 +130,12 @@ class MiniKafkaBroker:
             )
             t.start()
             # Prune finished handlers so a long-lived broker doesn't pin an
-            # ever-growing list of dead Thread objects.
-            self._threads = [x for x in self._threads if x.is_alive()]
-            self._threads.append(t)
+            # ever-growing list of dead Thread objects (and their sockets).
+            with self._lock:
+                self._threads = [x for x in self._threads if x.is_alive()]
+                self._threads.append(t)
+                self._conns = [c for c in self._conns if c.fileno() != -1]
+                self._conns.append(conn)
 
     def _serve_conn(self, conn: socket.socket):
         try:
