@@ -214,6 +214,11 @@ class EnsembleServer:
             params.num_tables != 1
             or str(cache_type) != "static"
             or params.cache_size_percentage < 1.0
+            # Sharded models serve through the staged path: this fast path
+            # reads table.values directly, which is a mesh-sharded array
+            # under shard_tables (the staged path rides the batcher's
+            # collective lookup instead).
+            or params.shard_tables
         ):
             return
         rs = dm.reshape
