@@ -552,8 +552,8 @@ def run_path_parity(
         "n_train": n_train, "n_eval": n_eval, "steps": steps,
         "thresholds": thresholds, "auc": {}, "delta_vs_fp32": {},
     }
-    s, l = score(32)
-    out["auc"]["fp32"] = base = auc(l, s)
+    s_fp32, l_full = score(32)
+    out["auc"]["fp32"] = base = auc(l_full, s_fp32)
     for name, quant, extra, cap in (
         ("int8_mixed_policy", 8, None, None),
         ("int8_blocked_layout", 8,
@@ -568,6 +568,9 @@ def run_path_parity(
         if cap is None:
             out["delta_vs_fp32"][name] = a - base
         else:
-            sb, lb = score(32, None, cap)
-            out["delta_vs_fp32"][name] = a - auc(lb, sb)
+            # Capped legs compare against the SAME subset of the already-
+            # computed fp32 scores (deterministic serve over identical
+            # inputs — re-serving would produce bitwise-equal scores).
+            n = min(cap, len(s_fp32))
+            out["delta_vs_fp32"][name] = a - auc(l_full[:n], s_fp32[:n])
     return out

@@ -601,12 +601,16 @@ def oh_in_kernel_eligible(batch: int, dim: int, members, values) -> bool:
     arena, 128-aligned member offsets/sizes (Mosaic's misaligned
     static-slice hazard — see ``_eligible``), arena small enough to ride
     whole in VMEM, and not nibble-packed int4 (the mask matmul would
-    multiply packed bytes)."""
+    multiply packed bytes). Float32 arenas are ALSO excluded: the kernel
+    contracts the one-hot mask in bf16 — exact for int8/bf16/fp8 values,
+    but it would round f32 embeddings, while the standalone path
+    (onehot_member_rows) keeps them exact with a HIGHEST-precision f32
+    matmul; unquantized deployments take the identical-math fallback."""
     return (
         _pick_block(batch) > 0
         and dim % 128 == 0
         and values.ndim == 2
-        and values.dtype != jnp.uint8
+        and values.dtype not in (jnp.uint8, jnp.float32)
         and bool(members)
         and all(off % 128 == 0 and sz % 128 == 0 for off, sz in members)
         and values.size * values.dtype.itemsize <= oh_arena_vmem_budget()

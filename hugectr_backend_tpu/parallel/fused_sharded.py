@@ -62,14 +62,18 @@ class ShardedFusedServer:
         self.tables = list(tables)
         self.keys_per_sample = list(keys_per_sample)
         self.strategy = strategy
+        axis = self.tables[0].shard_axis if self.tables else "table"
+        self.shard_axis = axis
         if strategy == "psum":
             lookups = [
-                _lookup_shardmap(mesh, t.scales is not None, t.rows_padded)
+                _lookup_shardmap(mesh, t.scales is not None, t.rows_padded,
+                                 axis=axis)
                 for t in self.tables
             ]
         else:
             lookups = [
-                _a2a_shardmap(mesh, t.scales is not None) for t in self.tables
+                _a2a_shardmap(mesh, t.scales is not None, axis=axis)
+                for t in self.tables
             ]
 
         @functools.partial(jax.jit, static_argnames=("batch",))
@@ -96,7 +100,7 @@ class ShardedFusedServer:
     def predict(self, keys_per_table, dense: np.ndarray) -> jax.Array:
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
-        n_shards = self.mesh.shape["table"]
+        n_shards = self.mesh.shape[self.shard_axis]
         routed_list = []
         for t, keys in enumerate(keys_per_table):
             keys = np.asarray(keys, np.int64).reshape(b * self.keys_per_sample[t])

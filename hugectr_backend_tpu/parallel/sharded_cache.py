@@ -33,8 +33,6 @@ from hugectr_backend_tpu.cache.embedding_cache import _HitRateMeter, _bucket
 from hugectr_backend_tpu.config.params import ConfigError, InferenceParams
 from hugectr_backend_tpu.parallel.sharded_table import (
     ShardedTable,
-    _a2a_shardmap,
-    _lookup_shardmap,
     plan_all_to_all,
 )
 from hugectr_backend_tpu.utils.logging import get_logger
@@ -62,15 +60,20 @@ def build_shard_mesh(params: InferenceParams) -> Mesh:
     )
 
 
-@functools.lru_cache(maxsize=256)
 def _shardmap_for(mesh: Mesh, axis: str, strategy: str, has_scales: bool,
                   rows_padded: int):
-    """Cached collective-lookup builder (rows_padded only matters for
-    psum's shard_rows bound; a refresh that changes the padded row count
-    gets a correctly-rebuilt program instead of a stale constant)."""
+    """Collective-lookup builder — the sharded_table lru-cached builders,
+    keyed per axis (rows_padded only matters for psum's shard_rows bound;
+    a refresh that changes the padded row count gets a correctly-rebuilt
+    program instead of a stale constant)."""
+    from hugectr_backend_tpu.parallel.sharded_table import (
+        _cached_a2a,
+        _cached_lookup,
+    )
+
     if strategy == "psum":
-        return _lookup_shardmap(mesh, has_scales, rows_padded, axis=axis)
-    return _a2a_shardmap(mesh, has_scales, axis=axis)
+        return _cached_lookup(mesh, has_scales, rows_padded, axis)
+    return _cached_a2a(mesh, has_scales, axis)
 
 
 @functools.partial(
@@ -215,7 +218,17 @@ class ShardedEmbeddingCache:
         sharded arrays. Sharded tables refresh whole (quantize+device_put
         is one bulk pass per table; a windowed scatter into a sharded array
         would serialize through host-side reshards anyway); ``fraction`` is
-        accepted for interface parity and ignored."""
+        accepted for interface parity and ignored.
+
+        Resident keys the tiers no longer hold KEEP their current values
+        (fetched from the old table via the collective lookup before the
+        rebuild) — the same don't-drop-on-partial-tier semantics as the
+        single-chip EmbeddingCache refresh, which scatters only found
+        rows."""
+        import jax.numpy as jnp
+
+        from hugectr_backend_tpu.parallel.sharded_table import sharded_lookup
+
         if self.tier_query is None:
             return 0
         total = 0
@@ -225,8 +238,18 @@ class ShardedEmbeddingCache:
             vecs, found = self.tier_query(t, keys)
             if not found.any():
                 continue
+            vecs = np.asarray(vecs, np.float32)
+            if not found.all():
+                missing = keys[~found]
+                slots = old.slots_for(missing)
+                rows = np.asarray(
+                    sharded_lookup(old, jnp.asarray(slots),
+                                   strategy=self.strategy)
+                )
+                vecs = vecs.copy()
+                vecs[~found] = rows
             rebuilt = ShardedTable.from_numpy(
-                keys[found], vecs[found], old.mesh, quant=old.quant,
+                keys, vecs, old.mesh, quant=old.quant,
                 default_value=float(self.params.default_value_for_table(t)),
             )
             with self._lock:

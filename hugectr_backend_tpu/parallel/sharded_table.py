@@ -239,8 +239,9 @@ def _lookup_shardmap(mesh: Mesh, has_scales: bool, rows_padded: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_lookup(mesh: Mesh, has_scales: bool, rows_padded: int):
-    fn = _lookup_shardmap(mesh, has_scales, rows_padded)
+def _cached_lookup(mesh: Mesh, has_scales: bool, rows_padded: int,
+                   axis: str = "table"):
+    fn = _lookup_shardmap(mesh, has_scales, rows_padded, axis=axis)
     return jax.jit(fn)
 
 
@@ -319,8 +320,8 @@ def _a2a_shardmap(mesh: Mesh, has_scales: bool, axis: str = "table"):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_a2a(mesh: Mesh, has_scales: bool):
-    return jax.jit(_a2a_shardmap(mesh, has_scales))
+def _cached_a2a(mesh: Mesh, has_scales: bool, axis: str = "table"):
+    return jax.jit(_a2a_shardmap(mesh, has_scales, axis=axis))
 
 
 def sharded_lookup(
@@ -333,20 +334,22 @@ def sharded_lookup(
     - "all_to_all" (serving production path: host dedup + bucket routing;
       ``slots`` must be host-resident — it IS, coming from key translation)
     """
+    axis = table.shard_axis
     if strategy == "all_to_all":
-        n_shards = table.mesh.shape["table"]
+        n_shards = table.mesh.shape[axis]
         shard_rows = table.rows_padded // n_shards
         buckets, expand = plan_all_to_all(
             np.asarray(slots), n_shards, shard_rows
         )
-        fn = _cached_a2a(table.mesh, table.scales is not None)
+        fn = _cached_a2a(table.mesh, table.scales is not None, axis)
         if table.scales is not None:
             return fn(table.values, table.scales, jnp.asarray(buckets),
                       jnp.asarray(expand))
         return fn(table.values, jnp.asarray(buckets), jnp.asarray(expand))
     if strategy != "psum":
         raise ValueError(f"unknown sharded lookup strategy {strategy!r}")
-    fn = _cached_lookup(table.mesh, table.scales is not None, table.rows_padded)
+    fn = _cached_lookup(table.mesh, table.scales is not None,
+                        table.rows_padded, axis)
     if table.scales is not None:
         return fn(table.values, table.scales, slots.astype(jnp.int32))
     return fn(table.values, slots.astype(jnp.int32))

@@ -377,3 +377,39 @@ def test_oh_wrapper_kernel_vs_fallback():
     # Kernel and fallback agree tightly (both bf16 contractions).
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(got_f),
                                rtol=0, atol=0.05)
+
+
+def test_oh_kernel_excludes_f32_arenas():
+    """Float32 (unquantized) arenas must NOT take the in-kernel one-hot
+    path: the kernel's bf16 mask contraction would round f32 embeddings,
+    while the standalone path keeps them exact (HIGHEST f32 matmul). The
+    wrapper must fall back to the identical-math materializing path."""
+    from hugectr_backend_tpu.ops.fused_interaction import (
+        fused_dot_interaction_oh,
+        oh_in_kernel_eligible,
+    )
+
+    rng = np.random.default_rng(5)
+    B, D = 32, 128
+    members = ((0, 128),)
+    arena_f32 = jnp.asarray(rng.standard_normal((128, D)), jnp.float32)
+    arena_i8 = jnp.asarray(rng.integers(-127, 128, (128, D)), jnp.int8)
+    assert not oh_in_kernel_eligible(B, D, members, arena_f32)
+    assert oh_in_kernel_eligible(B, D, members, arena_i8)
+
+    # The f32 fold must be EXACT vs the standalone one-hot computation.
+    slots = rng.integers(0, 120, (1, B)).astype(np.int32)
+    scales = np.ones((1, B), np.float32)
+    parts = (jnp.asarray(rng.standard_normal((1, B, D)) * 0.1, jnp.float32),)
+    bot = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    got = fused_dot_interaction_oh(
+        bot, (arena_f32, jnp.asarray(slots), jnp.asarray(scales), members),
+        list(parts), ((0, 0),), interpret=True)
+    emb = np.concatenate(
+        [np.asarray(arena_f32)[slots].transpose(1, 0, 2),
+         np.asarray(parts[0]).transpose(1, 0, 2)], axis=1)
+    want = np.asarray(_xla_reference(bot, jnp.asarray(emb)))
+    # Interaction itself is bf16 either way; the EMBEDDING VALUES feeding
+    # it must be the exact f32 rows (not bf16-rounded) — tolerance is the
+    # interaction's, identical to the int8 wrapper test.
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0.2)

@@ -221,3 +221,44 @@ def test_sharded_int4(tmp_path_factory):
         assert rel < 0.15, rel  # int4 tolerance
     finally:
         mgr.shutdown()
+
+
+def test_sharded_refresh_keeps_tier_dropped_keys(tmp_path_factory):
+    """Partial-tier refresh must not drop resident keys the tiers no
+    longer hold: they keep serving their current values (the single-chip
+    refresh's scatter-only-found semantics)."""
+    root = tmp_path_factory.mktemp("sharded_keep")
+    dim = 8
+    tbl = make_synthetic_table(600, dim, seed=17)
+    write_sparse_model(root / "k_t0", tbl.keys, tbl.vectors)
+    cfg = {"models": [_model_cfg(root, "k", [dim], {"quant_bits": 32})]}
+    mgr = ModelManager.create(json.dumps(cfg))
+    try:
+        ps = mgr.ps
+        cache = ps.get_embedding_cache("k", 0)
+        # Simulate tier loss of half the keys: rebuild the DRAM table with
+        # only the surviving half (new values), no SSD tier configured.
+        from hugectr_backend_tpu.ps.parameter_server import table_tag
+
+        params = ps.get_model_params("k")
+        tag = table_tag("k", params.table_name(0))
+        keep = tbl.keys[::2]
+        new_vecs = np.full((len(keep), dim), 3.25, np.float32)
+        ps.dram.drop_table(tag)
+        ps.dram.create_table(tag, dim)
+        ps.dram.insert(tag, keep, new_vecs)
+
+        n = cache.refresh()
+        assert n == len(keep)
+        # Survivors serve the refreshed values; dropped keys keep their
+        # ORIGINAL values instead of reverting to the default row.
+        q_keep = keep[:5]
+        q_drop = tbl.keys[1::2][:5]
+        resp = mgr.infer("k", np.concatenate([q_keep, q_drop]),
+                         np.array([10]))
+        out = np.asarray(resp.output).reshape(10, dim)
+        np.testing.assert_allclose(out[:5], 3.25, rtol=1e-5)
+        want_old = expected_vector(q_drop, dim)
+        np.testing.assert_allclose(out[5:], want_old, rtol=1e-5)
+    finally:
+        mgr.shutdown()
