@@ -817,7 +817,12 @@ def main():
             a = args_for(0, BATCH)
             float(run(oh_vals, ar_vals, ar_scales, big_vals, mp, dense0, *a))
             runners[(name, iters)] = (run, mp)
-    AB_ROUNDS = 3
+    # 5 interleaved rounds by default: the 3-round protocol could not
+    # resolve the fold's ~20 us full-program win (ROOFLINE §6.8 — a
+    # 9-round dedicated A/B did, bench_artifacts/fold_full_ab.json);
+    # 5 keeps the headline run bounded while halving the noise floor.
+    AB_ROUNDS = (2 if os.environ.get("HPS_BENCH_SMOKE")
+                 else int(os.environ.get("HPS_FUSED_AB_ROUNDS", "5")))
     fused_samples = {name: [] for name in fused_variants}
     for rd in range(AB_ROUNDS):
         for name in fused_variants:
