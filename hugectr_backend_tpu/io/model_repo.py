@@ -267,6 +267,16 @@ def _apply_instance_group(params: InferenceParams, cfg: Mapping[str, Any]) -> No
         {int(d) for g in groups for d in _as_list(g.get("gpus"))}
     )
     if gpus:
+        if params.shard_tables and len(gpus) < 2:
+            # Sharded models span ps.json's deployed_device_list as a MESH;
+            # a narrower instance_group must not silently shrink it below
+            # the sharding minimum (the reference's instance routing is a
+            # replica concept, model_state.cpp:281-309).
+            raise ConfigError(
+                f"model {params.model_name!r}: shard_tables needs >= 2 "
+                f"devices, but instance_group names {gpus}; list the mesh "
+                "devices in instance_group gpus or drop the override"
+            )
         params.deployed_devices = gpus
 
 

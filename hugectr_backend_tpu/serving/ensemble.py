@@ -214,11 +214,6 @@ class EnsembleServer:
             params.num_tables != 1
             or str(cache_type) != "static"
             or params.cache_size_percentage < 1.0
-            # Sharded models serve through the staged path: this fast path
-            # reads table.values directly, which is a mesh-sharded array
-            # under shard_tables (the staged path rides the batcher's
-            # collective lookup instead).
-            or params.shard_tables
         ):
             return
         rs = dm.reshape
@@ -226,7 +221,38 @@ class EnsembleServer:
         d = params.embedding_vecsize_per_table[0]
         if rs is None or len(rs) != 2 or rs[0] != -1 or rs[1] <= 0 or (k * d) % rs[1]:
             return  # padding would not stay a clean row prefix
-        dev = params.deployed_devices[0]
+        dev = params.instance_devices[0]
+
+        if params.shard_tables:
+            # Sharded ensemble fusion: the COLLECTIVE lookup and the dense
+            # forward compile into one mesh program — the multi-chip
+            # analogue of the flat fast path below (the reference composes
+            # these as separate ensemble steps with a device round-trip
+            # between engines).
+            from hugectr_backend_tpu.parallel.sharded_cache import (
+                _shardmap_for,
+            )
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("b_pad", "rows_padded", "mesh", "axis",
+                                 "strategy"),
+            )
+            def fused_sharded(dweights, dscales, values, scales, routed,
+                              b_pad, rows_padded, mesh, axis, strategy):
+                lk = _shardmap_for(mesh, axis, strategy, scales is not None,
+                                   rows_padded)
+                flat = (lk(values, scales, *routed)
+                        if scales is not None else lk(values, *routed))
+                return dm.apply(flat, weights=dweights, scales=dscales)
+
+            self._fused = ("sharded", fused_sharded, dev, params, k, d,
+                           rs[1], sparse, dense_step)
+            log.info(
+                "ensemble %s: fused SHARDED %s -> %s into one mesh program",
+                self.spec.name, sparse.model_name, dense_step.model_name,
+            )
+            return
 
         @functools.partial(jax.jit, static_argnames=("b_pad",))
         def fused(dweights, dscales, values, scales, slots, b_pad):
@@ -238,14 +264,15 @@ class EnsembleServer:
             # models). Weights/scales ride as jit ARGUMENTS.
             return dm.apply(flat, weights=dweights, scales=dscales)
 
-        self._fused = (fused, dev, params, k, d, rs[1], sparse, dense_step)
+        self._fused = ("flat", fused, dev, params, k, d, rs[1], sparse,
+                       dense_step)
         log.info(
             "ensemble %s: fused %s -> %s into one XLA program",
             self.spec.name, sparse.model_name, dense_step.model_name,
         )
 
     def _run_fused(self, tensors: dict[str, np.ndarray]) -> Optional[dict]:
-        fused, dev, params, k, d, f, sparse, dense_step = self._fused
+        mode, fused, dev, params, k, d, f, sparse, dense_step = self._fused
         # Fetch the LIVE cache every call: unload destroys it and a reload
         # creates a new object — a cache captured at build time would keep
         # serving the previous version's embeddings forever.
@@ -271,13 +298,28 @@ class EnsembleServer:
                 f"{params.max_batch_size} (reference hps.cc:573-582)"
             )
         b_pad = _bucket(b)
+        dm = self.dense[dense_step.model_name]
+        if mode == "sharded":
+            # Snapshot the (functional) table, route on the host, and run
+            # lookup + dense as ONE mesh program. _route pads at the slot
+            # level and updates the hit meter (parallel/sharded_cache.py).
+            with cache._lock:
+                table = cache.tables[0]
+            routed = cache._route(table, 0, keys, pad_to=b_pad * k)
+            y = fused(dm.weights, dm.scales, table.values, table.scales,
+                      routed, b_pad=b_pad, rows_padded=table.rows_padded,
+                      mesh=cache.mesh, axis=cache.axis,
+                      strategy=cache.strategy)
+            rows_per_sample = (k * d) // f
+            out = np.asarray(y[: b * rows_per_sample])
+            out_name = next(iter(dense_step.output_map.values()))
+            return {out_name: out}
         table = cache.tables[0]
         # Translate + snapshot under one lock hold (see EmbeddingCache.lookup).
         with cache._lock:
             slots = np.full(b_pad * k, table.index.miss_slot, np.int32)
             slots[: b * k] = cache.translate(0, keys).astype(np.int32)
             values, scales = table.values, table.scales
-        dm = self.dense[dense_step.model_name]
         y = fused(dm.weights, dm.scales, values, scales, jnp.asarray(slots),
                   b_pad=b_pad)
         rows_per_sample = (k * d) // f

@@ -97,11 +97,12 @@ def _np_mlp(weights, x):
 
 
 def _build_repo(tmp_path, rng, rows=3000, gpucacheper=1.0,
-                cache_type="static", dense_quant=None):
+                cache_type="static", dense_quant=None, extra_ps=None,
+                hps_pbtxt=HPS_PBTXT):
     # hps model
     mdir = tmp_path / "hps_embedding"
     mdir.mkdir()
-    (mdir / "config.pbtxt").write_text(HPS_PBTXT)
+    (mdir / "config.pbtxt").write_text(hps_pbtxt)
     tbl = make_synthetic_table(rows, DIM, seed=3)
     write_sparse_model(mdir / "1" / "sparse0.model", tbl.keys, tbl.vectors)
     # dense model
@@ -132,6 +133,8 @@ def _build_repo(tmp_path, rng, rows=3000, gpucacheper=1.0,
             }
         ]
     }
+    if extra_ps:
+        ps["models"][0].update(extra_ps)
     (tmp_path / "ps.json").write_text(json.dumps(ps))
     return tbl, weights
 
@@ -456,3 +459,74 @@ def test_ensemble_fused_tracks_reload(tmp_path, rng):
         np.testing.assert_allclose(out2, out1, rtol=1e-5)
     finally:
         mgr.shutdown()
+
+
+SHARDED_HPS_PBTXT = HPS_PBTXT.replace(
+    "gpus: [ 0 ]", "gpus: [ 0, 1, 2, 3, 4, 5, 6, 7 ]"
+)
+
+
+def test_ensemble_fused_sharded(tmp_path, rng):
+    """A SHARDED sparse model fuses its collective lookup + the dense
+    forward into one mesh program (the multi-chip analogue of the flat
+    fused chain); output matches the numpy reference and the staged
+    path."""
+    tbl, weights = _build_repo(
+        tmp_path, rng,
+        extra_ps={"shard_tables": True,
+                  "deployed_device_list": [0, 1, 2, 3, 4, 5, 6, 7]},
+        hps_pbtxt=SHARDED_HPS_PBTXT,
+    )
+    bundle, mgr, ensembles = _serve_bundle(tmp_path)
+    try:
+        from hugectr_backend_tpu.parallel.sharded_cache import (
+            ShardedEmbeddingCache,
+        )
+
+        assert isinstance(
+            mgr.ps.get_embedding_cache("hps_embedding", 0),
+            ShardedEmbeddingCache,
+        )
+        es = ensembles["ensemble_model"]
+        b = 6
+        keys = tbl.keys[: b * KEYS_PER_SAMPLE].astype(np.int64)
+        inputs = {
+            "EMB_KEY": keys,
+            "EMB_N_KEY": np.asarray([b * KEYS_PER_SAMPLE], np.int32),
+        }
+        out = es.infer(inputs)["DENSE_OUTPUT"]
+        assert es._fused is not None and es._fused[0] == "sharded"
+        x = expected_vector(keys, DIM).reshape(b, DIM * KEYS_PER_SAMPLE)
+        want = _np_mlp(weights, x)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+        staged = es.infer_staged(dict(inputs))["DENSE_OUTPUT"]
+        np.testing.assert_allclose(
+            staged.reshape(out.shape), out, rtol=1e-4, atol=1e-5)
+        # Misses through the fused sharded path resolve to default rows.
+        km = keys.copy()
+        km[:KEYS_PER_SAMPLE] = -999
+        out_m = es.infer({
+            "EMB_KEY": km,
+            "EMB_N_KEY": np.asarray([b * KEYS_PER_SAMPLE], np.int32),
+        })["DENSE_OUTPUT"]
+        xm = x.copy()
+        xm[0, : KEYS_PER_SAMPLE * DIM] = 0.0
+        np.testing.assert_allclose(out_m, _np_mlp(weights, xm),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        mgr.shutdown()
+
+
+def test_instance_group_cannot_shrink_sharded_mesh(tmp_path, rng):
+    """config.pbtxt instance_group naming a single device must not
+    silently shrink a sharded model's mesh below 2 devices."""
+    from hugectr_backend_tpu.config.params import ConfigError
+    from hugectr_backend_tpu.io.model_repo import load_repository
+
+    _build_repo(
+        tmp_path, rng,
+        extra_ps={"shard_tables": True,
+                  "deployed_device_list": [0, 1, 2, 3]},
+    )  # HPS_PBTXT pins gpus: [0]
+    with pytest.raises(ConfigError, match="shard_tables needs >= 2"):
+        load_repository(tmp_path)
