@@ -330,9 +330,10 @@ class EmbeddingCache:
                     # exact — local slots never exceed capacity — and the
                     # alignment is what lets the fused serving program fold
                     # this whole group into the interaction kernel.
-                    sizes.append(
-                        int(getattr(tb, "block_rows", 0) or tb.capacity + 1)
-                    )
+                    # One-hot members are always ArenaViews (the grouping
+                    # in __init__ requires an arena); block_rows == 0 only
+                    # for hand-built views (dataclass default).
+                    sizes.append(int(tb.block_rows or tb.capacity + 1))
                     pcounts.append(pc)
                     table_pos[t] = (g, start)
                     start += pc

@@ -34,8 +34,9 @@ from hugectr_backend_tpu.tiers.hbm import gather_dequant_xla
 
 def onehot_member_rows(
     values: jax.Array,   # [R_total, D] flat arena
-    offset: int,         # static member offset
-    size: int,           # static member rows (capacity + 1)
+    offset: int,         # static member offset (128-aligned in one-hot arenas)
+    size: int,           # static member PHYSICAL rows (ArenaView.block_rows
+                         # >= capacity + 1; pad rows are never selected)
     slots: jax.Array,    # [n] int32 arena-global slots for this member
 ) -> jax.Array:
     """rows = values[slots] via an MXU one-hot matmul (bit-identical to the
@@ -88,7 +89,7 @@ def gather_rows_for_groups(
     slots: Sequence[jax.Array],
     scin: Sequence[Optional[jax.Array]],
     meta: tuple,
-) -> list[jax.Array]:
+) -> "list[Optional[jax.Array]]":
     """Pure-jax device lookup over arena groups.
 
     One entry per group in each parallel list; ``meta[g]`` is a static
@@ -98,6 +99,13 @@ def gather_rows_for_groups(
           -> gather_dequant_xla(vals, dscales, slots)    [arena kind]
       ("onehot", (offset, ...), (size, ...), (padded_count, ...))
           -> per-member one-hot matmuls, concatenated    [onehot kind]
+             (sizes are PHYSICAL member blocks — 128-aligned
+             ArenaView.block_rows, >= capacity + 1)
+      ("skip",)
+          -> None (the caller consumes this group elsewhere; only the
+             fused serving program constructs it — "skip" must never
+             reach the public jit wrappers below, whose outputs are
+             sliced unconditionally)
 
     ``scin[g]`` (host-gathered per-key scales, or None) multiplies the f32
     rows — the solo/onehot scale path.

@@ -706,6 +706,15 @@ class InferenceParams:
                     "full partitioned capacity (no per-device eviction); "
                     'set "embedding_cache_type": "static"'
                 )
+            if self.use_gpu_embedding_cache and self.cache_size_percentage < 1.0:
+                raise ConfigError(
+                    f"model {self.model_name!r}: shard_tables requires "
+                    "gpucacheper 1.0 — sharding IS the capacity mechanism "
+                    "(every row lives on some shard); a partial-residency "
+                    "sharded cache would silently serve default rows for "
+                    "the non-resident fraction (no tier miss-merge on the "
+                    "collective path)"
+                )
 
     @property
     def instance_devices(self) -> "list[int]":

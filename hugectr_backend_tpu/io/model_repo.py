@@ -278,6 +278,11 @@ def _apply_instance_group(params: InferenceParams, cfg: Mapping[str, Any]) -> No
                 "devices in instance_group gpus or drop the override"
             )
         params.deployed_devices = gpus
+        # Re-run the cross-field checks the override can invalidate (e.g.
+        # num_shards <= len(deployed_device_list): a narrower gpus list
+        # would otherwise silently shrink the shard mesh and double
+        # per-shard HBM).
+        params.validate()
 
 
 def _apply_pbtxt_params(params: InferenceParams, cfg: Mapping[str, Any]) -> None:

@@ -82,12 +82,16 @@ def _fsspec_fetch(uri: str) -> str:
             pass  # listing unsupported: fall back to uri-only key
         dest = Path(tempfile.gettempdir()) / ("hps_sparse_" + h.hexdigest()[:16])
         if not dest.exists():
-            tmp = dest.with_suffix(".staging")
+            # Stage into a PROCESS-UNIQUE dir: a shared fixed .staging path
+            # let two concurrent fetchers (two serving processes, or two
+            # models on one URI) corrupt each other's download and made
+            # the loser's os.replace fail on the now-existing dest.
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            stage_root = Path(tempfile.mkdtemp(
+                prefix=dest.name + ".staging.", dir=dest.parent))
+            tmp = stage_root / "d"
             fs.get(path, str(tmp), recursive=True)
-            tmp = Path(tmp)
             # fsspec may nest the source dir under its basename when the
             # target exists; unwrap a lone inner directory so callers see
             # <dest>/key etc. directly.
@@ -98,13 +102,15 @@ def _fsspec_fetch(uri: str) -> str:
                 and entries[0].is_dir()
                 and entries[0].name == basename
             ):
-                inner = entries[0]
-                final = tmp.with_suffix(".unwrap")
-                shutil.rmtree(final, ignore_errors=True)
-                os.replace(inner, final)
-                shutil.rmtree(tmp, ignore_errors=True)
-                tmp = final
-            os.replace(tmp, dest)
+                tmp = entries[0]
+            try:
+                os.replace(tmp, dest)
+            except OSError:
+                # A concurrent fetcher won the publish; its copy is a
+                # complete download of the same fingerprint — use it.
+                if not dest.exists():
+                    raise
+            shutil.rmtree(stage_root, ignore_errors=True)
     except Exception as e:
         raise NotImplementedError(
             f"Remote path {uri!r}: staging via fsspec failed ({e!r}). "

@@ -101,6 +101,11 @@ class LookupSession:
                 f"NUMKEYS has {num_keys.shape[0]} entries, expected "
                 f"{self.cache.num_tables}"
             )
+        if (num_keys < 0).any():
+            # A negative count passes the sum check while silently
+            # misrouting keys between tables (negative slice offsets).
+            raise ValueError(f"NUMKEYS entries must be >= 0, got "
+                             f"{num_keys.tolist()}")
         total = int(num_keys.sum())
         if total != flat_keys.shape[0]:
             raise ValueError(

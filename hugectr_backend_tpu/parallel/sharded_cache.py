@@ -101,9 +101,13 @@ def _sharded_lookup_program(vals, scales, routed, *, mesh, axis, strategy,
 class ShardedEmbeddingCache:
     """One model's embedding tables row-sharded over a device mesh.
 
-    Fully resident by construction (every tier-resident row lives on some
-    shard; misses resolve to the default row), so the hit meter tracks
-    key-translation hits — the same signal the single-chip cache exports.
+    Fully resident by construction — config validation requires
+    gpucacheper 1.0 + a static cache type for shard_tables, so every
+    tier-resident row lives on some shard and misses resolve to the
+    default row (there is no per-request tier miss-merge on the
+    collective path; ``refresh`` is how streamed-in NEW keys arrive, via
+    ``tier_keys`` discovery). The hit meter tracks key-translation hits —
+    the same signal the single-chip cache exports.
 
     Concurrency follows the architecture invariant: tables are FUNCTIONAL
     (refresh REPLACES a table object); each request snapshots the table
@@ -117,11 +121,17 @@ class ShardedEmbeddingCache:
         tables: Sequence[ShardedTable],
         mesh: Mesh,
         tier_query: Optional[Callable] = None,
+        tier_keys: Optional[Callable] = None,
     ):
         self.params = params
         self.tables = list(tables)
         self.mesh = mesh
         self.tier_query = tier_query
+        # tier_keys(table_idx) -> all keys currently in the lower tiers:
+        # lets refresh DISCOVER streamed-in new keys (the single-chip
+        # dynamic cache admits them through miss-merge; the collective
+        # path has no per-request tier hop, so refresh grows the table).
+        self.tier_keys = tier_keys
         self.hit_meter = _HitRateMeter(len(self.tables))
         self._lock = threading.Lock()
         self.strategy = params.shard_strategy
@@ -194,9 +204,12 @@ class ShardedEmbeddingCache:
 
     def lookup(self, keys_per_table: Sequence[np.ndarray]) -> list[jax.Array]:
         """Per-table replicated [n_t, dim_t] f32 lookup — one XLA program
-        over the mesh, all-to-all (or psum) collectives over ICI."""
+        over the mesh, all-to-all (or psum) collectives over ICI. Counts
+        pad to the pow2 bucket grid (miss-slot pads) so compiled-program
+        signatures stay bounded — same as the single-chip cache."""
         counts = [np.asarray(k).reshape(-1).shape[0] for k in keys_per_table]
-        outs = self._run(keys_per_table, None, flat=False)
+        pad_counts = [_bucket(max(n, 1)) for n in counts]
+        outs = self._run(keys_per_table, pad_counts, flat=False)
         return [o[:n] for o, n in zip(outs, counts)]
 
     def lookup_flat(self, keys_per_table, pad_counts=None) -> jax.Array:
@@ -235,6 +248,11 @@ class ShardedEmbeddingCache:
         for t in range(self.num_tables):
             old = self.tables[t]
             keys = old.index.sorted_keys
+            if self.tier_keys is not None:
+                # Union in keys streamed into the tiers since the build —
+                # refresh is how the sharded table grows (no per-request
+                # miss-merge on the collective path).
+                keys = np.union1d(keys, np.asarray(self.tier_keys(t)))
             vecs, found = self.tier_query(t, keys)
             if not found.any():
                 continue

@@ -195,6 +195,24 @@ class HierParameterServer:
                 log.info("evicted %d stale rows from %s on re-load",
                          stale.size, tag)
             n_dram = int(tbl.num_rows * min(max(init_rate, 0.0), 1.0))
+            # Version re-load: DRAM rows promoted during the OLD version's
+            # serving (cache_missed_embeddings write-backs) may sit outside
+            # the fresh insert window below — overwrite the retained ones
+            # with the NEW version's vectors, or the DRAM-first tier merge
+            # keeps serving v(N) values for them forever.
+            if tag in self.dram.tables():
+                resident = self.dram.keys(tag)
+                if resident.size:
+                    retained = np.intersect1d(resident, tbl.keys)
+                    extra = np.setdiff1d(retained, tbl.keys[:n_dram])
+                    if extra.size:
+                        order = np.argsort(tbl.keys, kind="stable")
+                        idx = order[np.searchsorted(tbl.keys[order], extra)]
+                        self.dram.insert(tag, extra, tbl.vectors[idx])
+                        log.info(
+                            "refreshed %d promoted DRAM rows of %s to the "
+                            "new version", extra.size, tag,
+                        )
             if n_dram > 0:
                 self.dram.insert(tag, tbl.keys[:n_dram], tbl.vectors[:n_dram])
             if self.ssd is not None:
@@ -260,6 +278,9 @@ class HierParameterServer:
         tier_query = lambda ti, keys, m=params.model_name, p=params: (
             self._query_tiers(table_tag(m, p.table_name(ti)), keys)
         )
+        tier_keys = lambda ti, m=params.model_name, p=params: (
+            self._tier_keys(table_tag(m, p.table_name(ti)))
+        )
         log.info(
             "sharded model %s: %d tables over %d-device mesh (axis %r, "
             "%s, %s), %.1f MB/shard",
@@ -268,7 +289,8 @@ class HierParameterServer:
             sum(t.nbytes_per_shard() for t in tables) / 1e6,
         )
         return ShardedEmbeddingCache(params, tables, mesh,
-                                     tier_query=tier_query)
+                                     tier_query=tier_query,
+                                     tier_keys=tier_keys)
 
     def _quant_mode(self, params: InferenceParams) -> str:
         if not params.use_gpu_embedding_cache:
@@ -289,7 +311,11 @@ class HierParameterServer:
         """Device-INDEPENDENT host prep for one model's tables: tier fetch
         of resident rows (+ dynamic-cache capacity reserve). Hoisted out of
         the per-device build so an N-device deployment pays the tier reads
-        and quantization once, not N times."""
+        once, not N times. (Quantization + key-index build still run per
+        device inside build_arena_views — an acceptable cost for the
+        common 1-device-per-process deployment; hoisting them too would
+        thread the prepped (index, qvals, scales) through the arena
+        builder and the dynamic-cache reserve path.)"""
 
         def prep_table(t: int):
             """Fetch one table's resident rows from the tiers (worker-pool

@@ -45,6 +45,17 @@ class RetrievalServer:
                  user_table: int = 0, item_table: int = 1, k: int = 100):
         if cache.num_tables <= max(user_table, item_table):
             raise ValueError("cache does not hold the requested tables")
+        cache_type = getattr(params.embedding_cache_type, "value",
+                             params.embedding_cache_type)
+        if str(cache_type) != "static":
+            # Dynamic/UVM slotmaps REASSIGN slots on eviction: scoring row
+            # j and reporting sorted_keys[j] would label another key's
+            # vector with an evicted key's id.
+            raise ValueError(
+                "retrieval requires embedding_cache_type 'static' (the "
+                "corpus row -> key mapping must be stable), got "
+                f"{cache_type}"
+            )
         it = cache.tables[item_table]
         if getattr(it.values, "dtype", None) == jnp.uint8:
             raise ValueError(
@@ -116,9 +127,19 @@ class RetrievalServer:
         )
         with cache._lock:
             it = cache.tables[self.item_table]
-            ivals, iscales = it.values, it.scales
-            n_items = int(it.capacity)
-            item_sorted_keys = it.index.sorted_keys
+            # The functional object writers REPLACE is the raw values
+            # array (arena.values for views, the .values field for solo
+            # tables) — key the corpus-operand memo on its identity, so
+            # the ArenaView property slice (a device dispatch) runs only
+            # after a refresh/update actually swapped the array.
+            arena = getattr(it, "arena", None)
+            raw = arena.values if arena is not None else it.values
+            snap = getattr(self, "_item_snap", None)
+            if snap is None or snap[0] is not raw:
+                snap = (raw, it.values, it.scales, int(it.capacity),
+                        it.index.sorted_keys)
+                self._item_snap = snap
+            _, ivals, iscales, n_items, item_sorted_keys = snap
         scores, idx = self._fwd(
             self.model_params, uvals, uscales, jnp.asarray(uslots),
             None if uscin is None else jnp.asarray(uscin),

@@ -116,6 +116,10 @@ class ContinuousBatcher:
             raise RequestError(
                 f"NUMKEYS has {num_keys.shape[0]} entries, expected {n_tables}"
             )
+        if (num_keys < 0).any():
+            raise RequestError(
+                f"NUMKEYS entries must be >= 0, got {num_keys.tolist()}"
+            )
         if int(num_keys.sum()) != keys.shape[0]:
             raise RequestError(
                 f"KEYS holds {keys.shape[0]} keys but NUMKEYS sums to "

@@ -393,6 +393,19 @@ def quantize_host_rows(vectors_sorted: np.ndarray, quant: Quant,
     return vals, scales
 
 
+def _pad_rows(vals: np.ndarray, scales, n: int):
+    """Append ``n`` copies of the LAST row (the default/miss row) and its
+    scale — the shared pad idiom for both the blocked-layout tail and the
+    one-hot arena's 128-row member alignment. Pad rows are never
+    addressable (slots are always <= capacity == the default row)."""
+    if n <= 0:
+        return vals, scales
+    vals = np.concatenate([vals, np.repeat(vals[-1:], n, axis=0)])
+    if scales is not None:
+        scales = np.concatenate([scales, np.repeat(scales[-1:], n)])
+    return vals, scales
+
+
 def _maybe_block(vals: np.ndarray, scales, dim: int):
     """Gigantic tables are stored blocked as [K, SUB, D]. Two reasons:
     (a) memory-layout safety for arbitrarily large arenas, and (b) on
@@ -404,11 +417,7 @@ def _maybe_block(vals: np.ndarray, scales, dim: int):
     sub = max_rows_per_block()
     if vals.shape[0] > sub:
         k = -(-vals.shape[0] // sub)
-        pad = k * sub - vals.shape[0]
-        if pad:
-            vals = np.concatenate([vals, np.repeat(vals[-1:], pad, axis=0)])
-            if scales is not None:
-                scales = np.concatenate([scales, np.repeat(scales[-1:], pad)])
+        vals, scales = _pad_rows(vals, scales, k * sub - vals.shape[0])
         vals = vals.reshape(k, sub, dim)
         if scales is not None:
             scales = scales.reshape(k, sub)
@@ -494,11 +503,14 @@ class ArenaView:
         return self.index.lookup(keys)
 
     def nbytes(self) -> int:
-        # Stored width, not the logical dim (int4 packs dim//2 bytes/row).
+        # Stored width, not the logical dim (int4 packs dim//2 bytes/row);
+        # PHYSICAL rows incl. the 128-alignment pad (one-hot arenas) —
+        # what was actually allocated, not just capacity + 1.
+        rows = self.block_rows or self.capacity + 1
         stored_w = int(self.arena.values.shape[-1])
-        n = (self.capacity + 1) * stored_w * self.arena.values.dtype.itemsize
+        n = rows * stored_w * self.arena.values.dtype.itemsize
         if self.arena.scales is not None:
-            n += (self.capacity + 1) * 4
+            n += rows * 4
         return int(n)
 
 
@@ -551,10 +563,7 @@ def build_arena_views(
     for (index, v, s), dv in zip(prepped, default_values):
         rows = v.shape[0]
         block = -(-rows // align) * align
-        if block != rows:
-            v = np.concatenate([v, np.repeat(v[-1:], block - rows, axis=0)])
-            if s is not None:
-                s = np.concatenate([s, np.repeat(s[-1:], block - rows)])
+        v, s = _pad_rows(v, s, block - rows)
         vals_parts.append(v)
         if s is not None:
             scales_parts.append(s)

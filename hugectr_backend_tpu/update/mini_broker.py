@@ -85,6 +85,11 @@ class MiniKafkaBroker:
 
     def stop(self):
         self._stop.set()
+        # Wake handlers parked in the rebalance-barrier condition waits
+        # (their predicates check _stop), or the join loop below stalls
+        # its timeout per waiting handler.
+        with self._gcv:
+            self._gcv.notify_all()
         # shutdown() wakes the thread blocked in accept() — close() alone
         # leaves it parked in the syscall, which keeps the kernel's LISTEN
         # socket alive and blocks a failover broker from rebinding the port.
@@ -119,10 +124,20 @@ class MiniKafkaBroker:
     # ------------------------------------------------------------- serving
 
     def _accept_loop(self):
+        import errno
+
         while not self._stop.is_set():
             try:
                 conn, _ = self._srv.accept()
-            except OSError:
+            except OSError as e:
+                # Transient accept errors (fd exhaustion, client RST on
+                # some platforms) must not silently kill the broker.
+                if not self._stop.is_set() and e.errno in (
+                    errno.EMFILE, errno.ENFILE, errno.ECONNABORTED,
+                    errno.EINTR,
+                ):
+                    time.sleep(0.05)
+                    continue
                 return
             t = threading.Thread(
                 target=self._serve_conn, args=(conn,), daemon=True,
@@ -487,7 +502,8 @@ class MiniKafkaBroker:
             g["joined"].add(member_id)
             my_round = g["round"]
             self._gcv.notify_all()
-            while (g["state"] == "joining" and g["round"] == my_round
+            while (not self._stop.is_set()
+                   and g["state"] == "joining" and g["round"] == my_round
                    and not (not g["fresh"]
                             and g["joined"] >= g["expected"])
                    and time.monotonic() < g["deadline"]):
@@ -531,7 +547,8 @@ class MiniKafkaBroker:
                 g["state"] = "stable"
                 self._gcv.notify_all()
             deadline = time.monotonic() + 5.0
-            while (not g["assignments"] and g["generation"] == gen
+            while (not self._stop.is_set()
+                   and not g["assignments"] and g["generation"] == gen
                    and time.monotonic() < deadline):
                 self._gcv.wait(0.05)
             if g["generation"] != gen:

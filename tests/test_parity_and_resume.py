@@ -172,3 +172,46 @@ def test_resume_from_persistent_tier(tmp_path):
     q = tbl.keys[:25]
     out = sess.lookup_numpy([q])[0]
     np.testing.assert_allclose(out, expected_vector(q, 8), rtol=1e-6)
+
+
+def test_reload_refreshes_promoted_dram_rows(tmp_path):
+    """Version re-load must overwrite DRAM rows that were PROMOTED during
+    the old version's serving (write-backs outside the fresh insert
+    window) — the DRAM-first tier merge would otherwise serve v1 vectors
+    for them forever."""
+    import json
+
+    import numpy as np
+
+    from hugectr_backend_tpu import HierParameterServer
+    from hugectr_backend_tpu.io.sparse_model import write_sparse_model
+    from hugectr_backend_tpu.io.synthetic import make_synthetic_table
+    from hugectr_backend_tpu.ps.parameter_server import table_tag
+
+    dim = 8
+    tbl = make_synthetic_table(100, dim, seed=41)
+    write_sparse_model(tmp_path / "t0", tbl.keys, tbl.vectors)
+    ps = HierParameterServer.create({
+        "volatile_db": {"initial_cache_rate": 0.1},
+        "models": [{
+            "model": "m", "sparse_files": [str(tmp_path / "t0")],
+            "embedding_vecsize_per_table": [dim],
+            "maxnum_catfeature_query_per_table_per_sample": [1],
+            "gpucacheper": 1.0, "embedding_cache_type": "static",
+            "quant_bits": 32,
+        }],
+    })
+    params = ps.get_model_params("m")
+    tag = table_tag("m", params.table_name(0))
+    # Simulate an old-version write-back promotion OUTSIDE the 10% window:
+    # key K sits in DRAM with a stale vector.
+    k = tbl.keys[-1:]
+    ps.dram.insert(tag, k, np.full((1, dim), -7.0, np.float32))
+    # Re-load the (new-version) files: the promoted row must be refreshed
+    # to the file's value, not left serving -7.
+    ps.update_database_per_model(params)
+    vecs, found = ps.dram.query(tag, k)
+    assert found.all()
+    from hugectr_backend_tpu.io.synthetic import expected_vector
+
+    np.testing.assert_allclose(vecs, expected_vector(k, dim), rtol=1e-6)

@@ -37,8 +37,15 @@ def test_config_validation():
     base = dict(
         model="m", sparse_files=["x"], embedding_vecsize_per_table=[8],
         maxnum_catfeature_query_per_table_per_sample=[1],
-        embedding_cache_type="static",
+        embedding_cache_type="static", gpucacheper=1.0,
     )
+    # partial residency unsupported (no tier miss-merge on the
+    # collective path — default rows would serve silently)
+    with pytest.raises(ConfigError, match="gpucacheper 1.0"):
+        InferenceParams.from_json(
+            {**base, "shard_tables": True, "gpucacheper": 0.5,
+             "deployed_device_list": [0, 1]}
+        )
     # <2 shards
     with pytest.raises(ConfigError, match=">= 2"):
         InferenceParams.from_json(
@@ -260,5 +267,34 @@ def test_sharded_refresh_keeps_tier_dropped_keys(tmp_path_factory):
         np.testing.assert_allclose(out[:5], 3.25, rtol=1e-5)
         want_old = expected_vector(q_drop, dim)
         np.testing.assert_allclose(out[5:], want_old, rtol=1e-5)
+    finally:
+        mgr.shutdown()
+
+
+def test_sharded_refresh_discovers_streamed_new_keys(tmp_path_factory):
+    """Keys streamed into the tiers AFTER the build (Kafka/apply_updates)
+    must start serving after a refresh — the collective path has no
+    per-request miss-merge, so refresh is how the sharded table grows."""
+    root = tmp_path_factory.mktemp("sharded_grow")
+    dim = 8
+    tbl = make_synthetic_table(400, dim, seed=23)
+    write_sparse_model(root / "g_t0", tbl.keys, tbl.vectors)
+    cfg = {"models": [_model_cfg(root, "g", [dim], {"quant_bits": 32})]}
+    mgr = ModelManager.create(json.dumps(cfg))
+    try:
+        new_keys = np.array([10**12 + 7, 10**12 + 9], np.int64)
+        new_vecs = np.full((2, dim), 4.5, np.float32)
+        mgr.ps.apply_updates("g", 0, new_keys, new_vecs)
+        resp0 = mgr.infer("g", new_keys, np.array([2]))
+        assert np.abs(np.asarray(resp0.output)).max() == 0.0  # miss pre-refresh
+        mgr.ps.refresh_embedding_cache("g", 0)
+        resp = mgr.infer("g", new_keys, np.array([2]))
+        np.testing.assert_allclose(np.asarray(resp.output), 4.5, rtol=1e-5)
+        # Old keys still serve.
+        q = tbl.keys[:4]
+        resp2 = mgr.infer("g", q, np.array([4]))
+        np.testing.assert_allclose(
+            np.asarray(resp2.output), expected_vector(q, dim).reshape(-1),
+            rtol=1e-5)
     finally:
         mgr.shutdown()
