@@ -235,11 +235,12 @@ class EnsembleServer:
 
             @functools.partial(
                 jax.jit,
-                static_argnames=("b_pad", "rows_padded", "mesh", "axis",
-                                 "strategy"),
+                static_argnames=("rows_padded", "mesh", "axis", "strategy"),
             )
             def fused_sharded(dweights, dscales, values, scales, routed,
-                              b_pad, rows_padded, mesh, axis, strategy):
+                              rows_padded, mesh, axis, strategy):
+                # (No b_pad arg: the padding is fully encoded in the
+                # routed operand shapes, which already key the jit cache.)
                 lk = _shardmap_for(mesh, axis, strategy, scales is not None,
                                    rows_padded)
                 flat = (lk(values, scales, *routed)
@@ -307,7 +308,7 @@ class EnsembleServer:
                 table = cache.tables[0]
             routed = cache._route(table, 0, keys, pad_to=b_pad * k)
             y = fused(dm.weights, dm.scales, table.values, table.scales,
-                      routed, b_pad=b_pad, rows_padded=table.rows_padded,
+                      routed, rows_padded=table.rows_padded,
                       mesh=cache.mesh, axis=cache.axis,
                       strategy=cache.strategy)
             rows_per_sample = (k * d) // f

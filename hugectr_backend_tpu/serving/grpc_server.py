@@ -27,6 +27,7 @@ import numpy as np
 from hugectr_backend_tpu.config.params import ConfigError
 from hugectr_backend_tpu.serving import metrics
 from hugectr_backend_tpu.serving.model_manager import ModelManager
+from hugectr_backend_tpu.serving.pb_wire import infer_response_bytes
 from hugectr_backend_tpu.serving.scheduler import RequestError
 from hugectr_backend_tpu.utils.logging import get_logger
 
@@ -265,11 +266,7 @@ class KServeGrpcService:
                 # Hot path: frame the response by hand straight from the
                 # output buffer (serving/pb_wire.py — one copy instead of
                 # the tobytes -> message -> SerializeToString three); the
-                # method's response_serializer passes bytes through.
-                from hugectr_backend_tpu.serving.pb_wire import (
-                    infer_response_bytes,
-                )
-
+                # method's response_serializer passes it through.
                 out = np.ascontiguousarray(resp.output, dtype="<f4")
                 return infer_response_bytes(
                     name, request.model_version or "1", request.id,
@@ -332,10 +329,12 @@ class HpsGrpcServer:
             method: grpc.unary_unary_rpc_method_handler(
                 fn,
                 request_deserializer=req_cls.FromString,
-                # bytes pass through untouched — the ModelInfer hot path
-                # pre-frames its response (serving/pb_wire.py).
+                # Pre-framed bytes pass through untouched — the ModelInfer
+                # hot path hand-frames its response (serving/pb_wire.py;
+                # cygrpc requires bytes, not bytearray).
                 response_serializer=lambda msg: (
-                    msg if isinstance(msg, bytes) else msg.SerializeToString()
+                    msg if isinstance(msg, bytes)
+                    else msg.SerializeToString()
                 ),
             )
             for method, (req_cls, fn) in rpcs.items()

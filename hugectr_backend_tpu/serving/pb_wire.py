@@ -2,11 +2,12 @@
 
 The generic-handler gRPC stack costs three full copies of the OUTPUT0
 payload per response on the hot path (ndarray.tobytes -> message bytes
-field -> SerializeToString), measured ~600 us per merged-256 batch on the
-2-core dev host — comparable to the whole device program. This writer
-frames the response straight from the output buffer into ONE bytearray
-(single copy) and the method handler's response_serializer passes the
-bytes through untouched.
+field -> SerializeToString) plus the message build itself, measured
+~600 us per merged-256 batch on the 2-core dev host — comparable to the
+whole device program. This writer frames the response straight from the
+output buffer (one bytearray append + the bytes() conversion cygrpc
+demands — two copies, no message object) and the method handler's
+response_serializer passes the bytes through untouched.
 
 Field numbers from serving/kserve_v2.proto (ModelInferResponse:111-125;
 InferOutputTensor name/datatype/shape/..; InferParameter oneof):
@@ -18,6 +19,9 @@ from __future__ import annotations
 
 
 def _varint(buf: bytearray, v: int) -> None:
+    # Negative ints would loop forever under Python's arithmetic shift;
+    # encode two's-complement like protobuf does.
+    v &= 0xFFFFFFFFFFFFFFFF
     while True:
         b = v & 0x7F
         v >>= 7
@@ -68,7 +72,11 @@ def infer_response_bytes(
 ) -> bytes:
     """Serialized ModelInferResponse with ONE raw output tensor.
 
-    ``raw`` is copied exactly once (bytearray append from its buffer)."""
+    Two payload copies total: the bytearray append from ``raw``'s buffer
+    and the final bytes() conversion — grpc's cygrpc layer REQUIRES a
+    bytes message (returning the bytearray raises TypeError in
+    SendMessageOperation; verified against grpcio). Still replaces the
+    generated path's three copies plus message build + SerializeToString."""
     mv = memoryview(raw).cast("B")
     buf = bytearray()
     _string(buf, 1, model_name.encode())

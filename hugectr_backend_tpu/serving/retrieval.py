@@ -69,6 +69,10 @@ class RetrievalServer:
         self.user_table = user_table
         self.item_table = item_table
         self.k = int(k)
+        if not (1 <= self.k <= it.capacity):
+            raise ValueError(
+                f"k={self.k} must be in [1, corpus size {it.capacity}]"
+            )
         self.keys_per_sample = params.maxnum_catfeature_query_per_table_per_sample[
             user_table
         ]
@@ -111,7 +115,7 @@ class RetrievalServer:
 
         ``user_keys`` [B, K_u] or flat; ``dense`` [B, Nd] user-side dense
         features (zero-width allowed)."""
-        k = int(k or self.k)
+        k = self.k if k is None else int(k)
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
         user_keys = np.asarray(user_keys, np.int64).reshape(
@@ -140,6 +144,11 @@ class RetrievalServer:
                         it.index.sorted_keys)
                 self._item_snap = snap
             _, ivals, iscales, n_items, item_sorted_keys = snap
+        if not (1 <= k <= n_items):
+            raise ValueError(
+                f"k={k} must be in [1, corpus size {n_items}] "
+                "(lax.top_k cannot exceed the candidate count)"
+            )
         scores, idx = self._fwd(
             self.model_params, uvals, uscales, jnp.asarray(uslots),
             None if uscin is None else jnp.asarray(uscin),

@@ -320,8 +320,7 @@ class ContinuousBatcher:
             )
         self._finish_metrics(model, t0, t_merge, t_flat, n_tables, batch)
 
-    def _finish_metrics(self, model, t0, t_merge, t_flat, n_tables,
-                        batch=None):
+    def _finish_metrics(self, model, t0, t_merge, t_flat, n_tables, batch):
         """Per-batch metrics tail, shared by the regroup path and the
         single-request zero-copy fast path."""
         # Export the per-table EWMA cache hit rate (reference
@@ -343,8 +342,6 @@ class ContinuousBatcher:
         metrics.BATCH_SW_SECONDS.observe(
             (t_merge - t0) + (t_resp - t_flat), model=model
         )
-        if batch is None:
-            return
         metrics.REQUEST_COUNT.inc(len(batch), model=model)
         metrics.SAMPLES_COUNT.inc(sum(r.num_samples for r in batch), model=model)
         metrics.BATCH_SIZE.observe(sum(r.num_samples for r in batch), model=model)
