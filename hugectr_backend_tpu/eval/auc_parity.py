@@ -199,7 +199,12 @@ def serving_scores(
 
     num_feats = keys_idx.shape[1]
     workdir = workdir or tempfile.mkdtemp(prefix="hps_auc_")
-    write_sparse_model(f"{workdir}/t0", key_ids, table)
+    import os as _os
+
+    if not _os.path.exists(f"{workdir}/t0"):
+        # The checkpoint is variant-independent: callers pass one shared
+        # workdir and every variant reuses the same written files.
+        write_sparse_model(f"{workdir}/t0", key_ids, table)
     ps = HierParameterServer.create(
         {
             "models": [
@@ -254,7 +259,10 @@ VARIANTS = {
     "int4": (4, False, None),
     "fp8": (8, True, None),
     "int8+dense_int8": (8, False, "int8"),
-    "int8+dense_fp8": (8, True, "fp8"),
+    # fp8_quant=False: fp8_quant OVERRIDES quant_bits (config/params.py),
+    # so True here would serve fp8 EMBEDDINGS and mislabel the variant —
+    # this row measures int8 lookup composed with fp8 dense.
+    "int8+dense_fp8": (8, False, "fp8"),
     "int8+dense_w8a8": (8, False, "w8a8"),
 }
 
@@ -295,13 +303,14 @@ def run_parity(
         "auc": {},
         "delta_vs_fp32": {},
     }
-    for name in variants or VARIANTS:
-        qb, fp8, dfmt = VARIANTS[name]
-        scores = serving_scores(
-            model, params, data.key_ids, table, kidx, dense,
-            quant_bits=qb, fp8_quant=fp8, dense_fmt=dfmt,
-        )
-        out["auc"][name] = auc(labels, scores)
+    with tempfile.TemporaryDirectory(prefix="hps_auc_") as wd:
+        for name in variants or VARIANTS:
+            qb, fp8, dfmt = VARIANTS[name]
+            scores = serving_scores(
+                model, params, data.key_ids, table, kidx, dense,
+                quant_bits=qb, fp8_quant=fp8, dense_fmt=dfmt, workdir=wd,
+            )
+            out["auc"][name] = auc(labels, scores)
     base = out["auc"].get("fp32")
     if base is not None:
         for name, a in out["auc"].items():
@@ -413,6 +422,7 @@ def train_dlrm_multi(
 
     n = len(data.labels)
     rs = np.random.default_rng(seed)
+    loss = None
     for _ in range(steps):
         sel = rs.integers(0, n, batch)
         params, table, opt_state, loss = step(
@@ -421,7 +431,7 @@ def train_dlrm_multi(
             jnp.asarray(data.dense[sel]),
             jnp.asarray(data.labels[sel]),
         )
-    assert np.isfinite(float(loss)), float(loss)
+    assert loss is None or np.isfinite(float(loss)), float(loss)
     table = np.asarray(table, np.float32)
     return model, params, [
         table[offs[f]: offs[f + 1]] for f in range(len(vocabs))
@@ -460,7 +470,10 @@ def multi_serving_scores(
             saved[k] = os.environ.get(k)
             os.environ[k] = str(v)
         for f in range(nf):
-            write_sparse_model(f"{workdir}/t{f}", key_ids[f], tables[f])
+            if not os.path.exists(f"{workdir}/t{f}"):
+                # Variant-independent checkpoint: reused across legs when
+                # the caller passes a shared workdir.
+                write_sparse_model(f"{workdir}/t{f}", key_ids[f], tables[f])
         ps = HierParameterServer.create(
             {
                 "models": [
@@ -538,13 +551,15 @@ def run_path_parity(
     dense = data.dense[n_train:]
     labels = data.labels[n_train:]
 
+    shared_wd = tempfile.mkdtemp(prefix="hps_auc_path_")
+
     def score(quant, extra_env=None, cap=None):
         env = dict(thresholds)
         env.update(extra_env or {})
         n = len(kidx) if cap is None else min(cap, len(kidx))
         return multi_serving_scores(
             model, params, data.key_ids, tables, kidx[:n], dense[:n],
-            quant_bits=quant, env=env,
+            quant_bits=quant, env=env, workdir=shared_wd,
         ), labels[:n]
 
     out = {
@@ -562,7 +577,28 @@ def run_path_parity(
         ("int8_oh_kernel_interpret", 8,
          {"HPS_PALLAS_INTERPRET": "1"}, kernel_eval_cap),
     ):
-        s, l = score(quant, extra, cap)
+        if name == "int8_oh_kernel_interpret":
+            # Prove the REAL Pallas body actually ran (the in-kernel path
+            # requires dim % 128 == 0 even under interpret; at other dims
+            # the leg would silently measure the exact fallback and the
+            # kernel gate would be vacuous).
+            import hugectr_backend_tpu.ops.fused_interaction as _fi
+
+            calls = {"n": 0}
+            _orig = _fi.fused_dot_interaction_oh_parts
+
+            def _probe(*a, **k):
+                calls["n"] += 1
+                return _orig(*a, **k)
+
+            _fi.fused_dot_interaction_oh_parts = _probe
+            try:
+                s, l = score(quant, extra, cap)
+            finally:
+                _fi.fused_dot_interaction_oh_parts = _orig
+            out["oh_kernel_engaged"] = calls["n"] > 0
+        else:
+            s, l = score(quant, extra, cap)
         a = auc(l, s)
         out["auc"][name] = a
         if cap is None:
@@ -573,4 +609,7 @@ def run_path_parity(
             # inputs — re-serving would produce bitwise-equal scores).
             n = min(cap, len(s_fp32))
             out["delta_vs_fp32"][name] = a - auc(l_full[:n], s_fp32[:n])
+    import shutil
+
+    shutil.rmtree(shared_wd, ignore_errors=True)
     return out

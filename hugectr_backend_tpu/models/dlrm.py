@@ -99,6 +99,13 @@ class DotInteraction(nn.Module):
         from hugectr_backend_tpu.ops.fused_interaction import EmbParts
 
         use = self.use_pallas
+        if use and self.self_interaction:
+            # Refuse rather than silently downgrade: a user forcing the
+            # kernel while benchmarking would measure the XLA lowering.
+            raise ValueError(
+                "the Pallas fused interaction does not support "
+                "self_interaction=True (use_pallas must be None/False)"
+            )
         # Test hook: HPS_PALLAS_INTERPRET=1 runs the Pallas kernels in
         # interpret mode so CPU tests exercise the REAL kernel bodies
         # through the full serving path (Mosaic is never touched).

@@ -93,20 +93,24 @@ class QuantDense(nn.Module):
             qdtype = ml_dtypes.float8_e4m3fn
 
         qmax = FP8_E4M3_MAX if self.fmt == "fp8" else INT8_QMAX
+        # DETERMINISTIC init scale (±3σ of the lecun fan-in std mapped to
+        # the quant range): Flax hands sibling params DIFFERENT RNG keys,
+        # so deriving the scale from a per-param random draw would pair
+        # kernel_q with another draw's absmax — a random per-column gain
+        # on the dequantized init weights. A fixed scale keeps
+        # q * scale ≈ w exactly (up to the quant step; the >3σ tail
+        # clips, which lecun init makes negligible).
+        init_scale_val = 3.0 * float(in_features) ** -0.5 / qmax
 
         def init_q(key, shape, dtype=None):
             w = jax.nn.initializers.lecun_normal()(key, shape, jnp.float32)
-            scale = jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / qmax
-            q = w / scale[None, :]
+            q = w / init_scale_val
             if self.fmt != "fp8":
                 return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
             return q.astype(qdtype)
 
         def init_s(key, shape, dtype=None):
-            w = jax.nn.initializers.lecun_normal()(
-                key, (in_features, self.features), jnp.float32
-            )
-            return jnp.maximum(jnp.abs(w).max(axis=0), 1e-12) / qmax
+            return jnp.full(shape, init_scale_val, jnp.float32)
 
         kernel_q = self.param("kernel_q", init_q, (in_features, self.features))
         kernel_scale = self.param("kernel_scale", init_s, (self.features,))
@@ -146,35 +150,15 @@ class QuantDense(nn.Module):
         return y.astype(self.compute_dtype)
 
 
-class QuantMLP(nn.Module):
-    """MLP over QuantDense layers (drop-in for models.dlrm.MLP at serving)."""
-
-    widths: Sequence[int]
-    fmt: str = "int8"
-    compute_dtype: jnp.dtype = jnp.float32
-    final_activation: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        x = x.astype(self.compute_dtype)
-        for i, w in enumerate(self.widths):
-            act = (
-                "relu"
-                if i + 1 < len(self.widths) or self.final_activation
-                else None
-            )
-            x = QuantDense(w, self.fmt, self.compute_dtype,
-                           activation=act)(x)
-        return x
+# (A quantized MLP is models.dlrm.MLP(widths, quant_fmt=...) — it emits the
+# same QuantDense_i layer stack; a parallel QuantMLP class here drifted.)
 
 
-def quantize_model_params(params: Any, fmt: str = "int8"):
-    """Convert a whole Flax param tree trained with ``nn.Dense`` layers into
-    the layout the same model expects with ``quant_fmt=fmt`` set: module
-    keys ``Dense_i`` rename to ``QuantDense_i`` and each kernel becomes
-    (kernel_q, kernel_scale). Existing fp32 checkpoints deploy quantized
-    without retraining (the serving-side analogue of the reference's
-    fp8_quant flag, reference backend.cpp:500-504)."""
+def quantize_dense_params(dense_params: Any, fmt: str = "int8",
+                          rename: bool = False):
+    """Convert a Flax param tree of ``Dense`` layers ({kernel, bias}) into
+    the QuantDense layout ({kernel_q, kernel_scale, bias}). With
+    ``rename``, module keys ``Dense_i`` also rename to ``QuantDense_i``."""
 
     def convert(node):
         if isinstance(node, dict) and "kernel" in node:
@@ -186,27 +170,19 @@ def quantize_model_params(params: Any, fmt: str = "int8"):
         if isinstance(node, dict):
             return {
                 k.replace("Dense_", "QuantDense_")
-                if k.startswith("Dense_") else k: convert(v)
+                if rename and k.startswith("Dense_") else k: convert(v)
                 for k, v in node.items()
             }
         return node
 
-    return convert(params)
-
-
-def quantize_dense_params(dense_params: Any, fmt: str = "int8"):
-    """Convert a Flax param tree of ``Dense`` layers ({kernel, bias}) into the
-    QuantDense layout ({kernel_q, kernel_scale, bias})."""
-
-    def convert(node):
-        if isinstance(node, dict) and "kernel" in node:
-            q, s = quantize_weight(np.asarray(node["kernel"]), fmt)
-            out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(s)}
-            if "bias" in node:
-                out["bias"] = node["bias"]
-            return out
-        if isinstance(node, dict):
-            return {k: convert(v) for k, v in node.items()}
-        return node
-
     return convert(dense_params)
+
+
+def quantize_model_params(params: Any, fmt: str = "int8"):
+    """Convert a whole Flax param tree trained with ``nn.Dense`` layers into
+    the layout the same model expects with ``quant_fmt=fmt`` set: module
+    keys ``Dense_i`` rename to ``QuantDense_i`` and each kernel becomes
+    (kernel_q, kernel_scale). Existing fp32 checkpoints deploy quantized
+    without retraining (the serving-side analogue of the reference's
+    fp8_quant flag, reference backend.cpp:500-504)."""
+    return quantize_dense_params(params, fmt, rename=True)

@@ -111,6 +111,12 @@ def main():
             p: max(abs(r["delta_vs_fp32"][p]) for r in path_runs)
             for p in paths
         },
+        # Per-seed proof that the interpreted Pallas one-hot-in-kernel
+        # body actually executed (False would mean the leg measured the
+        # exact fallback — vacuous as a kernel gate).
+        "oh_kernel_engaged": [
+            bool(r.get("oh_kernel_engaged")) for r in path_runs
+        ],
         "note": "served through make_dlrm_multi_server (chunked fused "
                 "program: mixed lookup kinds, part-major reorder, one-hot "
                 "fold); thresholds scaled via env so all kinds appear; "

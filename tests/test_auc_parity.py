@@ -102,7 +102,10 @@ def test_path_parity_blocked_and_int4(path_parity):
 def test_path_parity_real_kernel_bodies(path_parity):
     """HPS_PALLAS_INTERPRET=1 leg: the interpreted Pallas kernels (one-hot
     assembled in-kernel from the 128-aligned arena, part-major z) serve
-    with AUC delta < 1e-3 vs fp32 on the same eval subset."""
+    with AUC delta < 1e-3 vs fp32 on the same eval subset — and the
+    kernel body PROVABLY ran (the leg would otherwise measure the exact
+    fallback at non-128 dims and gate nothing)."""
+    assert path_parity["oh_kernel_engaged"] is True
     assert abs(
         path_parity["delta_vs_fp32"]["int8_oh_kernel_interpret"]) < 1e-3
 

@@ -80,10 +80,7 @@ def test_auc_parity_int8_vs_fp32(tmp_path):
 
 
 def test_quant_dense_close_to_fp32():
-    from hugectr_backend_tpu.models.quant_dense import (
-        QuantMLP,
-        quantize_dense_params,
-    )
+    from hugectr_backend_tpu.models.quant_dense import quantize_dense_params
     from hugectr_backend_tpu.models.dlrm import MLP
 
     rng = np.random.default_rng(1)
@@ -95,7 +92,7 @@ def test_quant_dense_close_to_fp32():
     # e4m3 has 3 mantissa bits (~6% step) so its tolerance is wider; int8 with
     # per-column scales stays within ~3%.
     for fmt, tol in (("int8", 0.03), ("fp8", 0.09), ("w8a8", 0.05)):
-        qmlp = QuantMLP(widths=(64, 16), fmt=fmt, compute_dtype=jnp.float32)
+        qmlp = MLP(widths=(64, 16), compute_dtype=jnp.float32, quant_fmt=fmt)
         qp = {"params": _to_quant_tree(p["params"], fmt)}
         y_q = np.asarray(qmlp.apply(qp, x))
         rel = np.abs(y_q - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
