@@ -287,10 +287,15 @@ def e2e_serving_stage():
                         "RTT per device execution on this dev setup",
             "e2e_qps_disclaimer": "qps fields are tunnel-RTT-bound and vary "
                                   "~2x between sessions (r2: 60.1, r3: 26.4 "
-                                  "on identical code); the sw_overhead/"
-                                  "dispatch decomposition and the frontend "
-                                  "saturation stage are the defensible "
-                                  "numbers",
+                                  "on identical code), and under RTT-bound "
+                                  "concurrency on the 2-core host the "
+                                  "sw_overhead timestamps absorb GIL time "
+                                  "from client threads (measured up to "
+                                  "~2.6 ms here vs ~0.1-0.2 ms isolated); "
+                                  "the frontend saturation stage "
+                                  "(bench_artifacts/frontend_saturation."
+                                  "json, device stubbed) is the defensible "
+                                  "frontend-software number",
         }
     finally:
         server.stop()
