@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from hugectr_backend_tpu import HierParameterServer
 from hugectr_backend_tpu.io.sparse_model import write_sparse_model
 from hugectr_backend_tpu.io.synthetic import make_synthetic_table
-from hugectr_backend_tpu.models import NCF, DCNv2, DeepFM, WideAndDeep, XDeepFM
+from hugectr_backend_tpu.models import BST, NCF, DCNv2, DeepFM, WideAndDeep, XDeepFM
 from hugectr_backend_tpu.serving.program import (
     make_dcn_server,
     make_deepfm_server,
@@ -130,4 +130,19 @@ srv = make_ncf_server(ps.get_model_params("two_tower"),
                       ps.get_embedding_cache("two_tower", 0), model, mp)
 show("NCF", srv.predict([ukeys, ikeys], np.zeros((B, 0), np.float32)))
 
-print("model zoo OK — five families served through one lookup engine")
+# --- BST (behavior-sequence transformer over the DIN serving path) --------
+from hugectr_backend_tpu.serving.pooled import FusedDinServer
+
+tkeys = feat_b.keys[rng.integers(0, 30_000, B)]
+hkeys = feat_b.keys[rng.integers(0, 30_000, (B, 6))]
+seq_len = rng.integers(0, 7, B).astype(np.int32)
+model = BST(num_heads=4, num_layers=1, head_widths=(32, 1))
+mp = model.init(jax.random.PRNGKey(0), jnp.zeros((B, ND)),
+                jnp.zeros((B, 16)), jnp.zeros((B, 6, 16)),
+                jnp.zeros((B,), jnp.int32))
+srv = FusedDinServer(ps.get_model_params("two_tower"),
+                     ps.get_embedding_cache("two_tower", 0), model, mp,
+                     target_table=1, seq_table=1)
+show("BST", srv.predict(tkeys, hkeys, seq_len, dense))
+
+print("model zoo OK — six families served through one lookup engine")

@@ -6,5 +6,6 @@ from hugectr_backend_tpu.models.deepfm import DeepFM
 from hugectr_backend_tpu.models.xdeepfm import XDeepFM
 from hugectr_backend_tpu.models.ncf import NCF
 from hugectr_backend_tpu.models.two_tower import TwoTowerUser
+from hugectr_backend_tpu.models.bst import BST
 
-__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM", "XDeepFM", "NCF", "TwoTowerUser"]
+__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM", "XDeepFM", "NCF", "TwoTowerUser", "BST"]
