@@ -7,5 +7,6 @@ from hugectr_backend_tpu.models.xdeepfm import XDeepFM
 from hugectr_backend_tpu.models.ncf import NCF
 from hugectr_backend_tpu.models.two_tower import TwoTowerUser
 from hugectr_backend_tpu.models.bst import BST
+from hugectr_backend_tpu.models.mmoe import MMoE
 
-__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM", "XDeepFM", "NCF", "TwoTowerUser", "BST"]
+__all__ = ["DLRM", "WideAndDeep", "DCNv2", "DIN", "DeepFM", "XDeepFM", "NCF", "TwoTowerUser", "BST", "MMoE"]

@@ -460,3 +460,14 @@ def make_dlrm_multi_server(params, cache, model, model_params):
         return model.apply(mp, dense, emb)
 
     return FusedMultiTableServer(params, cache, assemble, chunked=True)
+
+
+def make_mmoe_server(params, cache, model, model_params):
+    """MMoE: all tables stacked on the feature axis (equal dims); the
+    fused program returns [B, num_tasks] logits (models/mmoe.py)."""
+
+    def assemble(dense, embs):
+        emb = jnp.concatenate(embs, axis=1)  # [B, sum K_t, D]
+        return model.apply(model_params, dense, emb)
+
+    return FusedMultiTableServer(params, cache, assemble)
