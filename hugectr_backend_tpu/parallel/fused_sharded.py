@@ -98,13 +98,32 @@ class ShardedFusedServer:
         self._fwd = fwd
 
     def predict(self, keys_per_table, dense: np.ndarray) -> jax.Array:
+        from hugectr_backend_tpu.parallel.sharded_table import _bucket_pow2
+
         dense = np.asarray(dense, dtype=np.float32)
         b = dense.shape[0]
+        # Pad the batch to the pow2 bucket grid (miss-slot pads + zero
+        # dense rows, sliced off below): `batch` is a static jit arg and
+        # the routed shapes key the compile cache, so unbucketed sizes
+        # would compile the whole fused model once per distinct batch —
+        # ruinous on a shared serial compile queue.
+        b_pad = _bucket_pow2(b)
+        if b_pad != b:
+            dense = np.concatenate(
+                [dense, np.zeros((b_pad - b, dense.shape[1]), np.float32)]
+            )
         n_shards = self.mesh.shape[self.shard_axis]
         routed_list = []
         for t, keys in enumerate(keys_per_table):
-            keys = np.asarray(keys, np.int64).reshape(b * self.keys_per_sample[t])
+            k = self.keys_per_sample[t]
+            keys = np.asarray(keys, np.int64).reshape(b * k)
             slots = self.tables[t].slots_for(keys)
+            if b_pad != b:
+                slots = np.concatenate([
+                    slots,
+                    np.full((b_pad - b) * k, self.tables[t].index.miss_slot,
+                            slots.dtype),
+                ])
             if self.strategy == "psum":
                 routed_list.append((jnp.asarray(slots),))
             else:
@@ -114,13 +133,14 @@ class ShardedFusedServer:
                 routed_list.append(
                     (jnp.asarray(buckets), jnp.asarray(expand))
                 )
-        return self._fwd(
+        out = self._fwd(
             [t.values for t in self.tables],
             [t.scales for t in self.tables],
             routed_list,
             jnp.asarray(dense),
-            batch=b,
+            batch=b_pad,
         )
+        return out if b_pad == b else out[:b]
 
 
 def make_sharded_stacked_server(mesh, tables, keys_per_sample, model,

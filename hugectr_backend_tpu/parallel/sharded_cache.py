@@ -260,12 +260,27 @@ class ShardedEmbeddingCache:
             if not found.all():
                 missing = keys[~found]
                 slots = old.slots_for(missing)
-                rows = np.asarray(
-                    sharded_lookup(old, jnp.asarray(slots),
-                                   strategy=self.strategy)
-                )
-                vecs = vecs.copy()
-                vecs[~found] = rows
+                # A key absent from BOTH the tiers and the old table
+                # (tier_keys listed it but it was evicted before
+                # tier_query ran) must be DROPPED, not rebuilt from the
+                # default row — it would otherwise become resident with a
+                # silently-wrong zero embedding forever.
+                in_old = slots != old.index.miss_slot
+                if not in_old.all():
+                    drop = np.zeros(len(keys), bool)
+                    drop[np.flatnonzero(~found)[~in_old]] = True
+                    keys = keys[~drop]
+                    vecs = vecs[~drop]
+                    found = found[~drop]
+                    missing = missing[in_old]
+                    slots = slots[in_old]
+                if missing.size:
+                    rows = np.asarray(
+                        sharded_lookup(old, jnp.asarray(slots),
+                                       strategy=self.strategy)
+                    )
+                    vecs = vecs.copy()
+                    vecs[~found] = rows
             rebuilt = ShardedTable.from_numpy(
                 keys, vecs, old.mesh, quant=old.quant,
                 default_value=float(self.params.default_value_for_table(t)),

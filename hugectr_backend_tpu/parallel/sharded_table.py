@@ -245,11 +245,9 @@ def _cached_lookup(mesh: Mesh, has_scales: bool, rows_padded: int,
     return jax.jit(fn)
 
 
-def _bucket_pow2(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+# One pow2-bucket utility for the whole package: the batcher's merge grid
+# and the a2a capacity grid must never drift apart.
+from hugectr_backend_tpu.cache.embedding_cache import _bucket as _bucket_pow2  # noqa: E402,E501
 
 
 def plan_all_to_all(
@@ -270,6 +268,17 @@ def plan_all_to_all(
     pow2 grid.
     """
     slots = np.asarray(slots, dtype=np.int64).reshape(-1)
+    if slots.size and (
+        int(slots.max()) >= n_shards * shard_rows or int(slots.min()) < 0
+    ):
+        # Out-of-range slots would be silently CLAMPED by the device
+        # gather (a wrong embedding, no error) — and the psum strategy
+        # masks the same slot to zeros; range-check here so the two
+        # strategies cannot silently disagree.
+        raise ValueError(
+            f"slot out of range [0, {n_shards * shard_rows}) in "
+            "all_to_all routing plan"
+        )
     # Native O(n) hash dedup (first-seen order — the plan below is
     # order-independent); np.unique's sort cost ~4.6 ms on a 26k-key merged
     # batch, which would dominate the routed lookup itself.

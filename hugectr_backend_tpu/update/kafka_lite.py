@@ -206,6 +206,12 @@ def decode_message_set(raw: bytes):
     while r.remaining() >= 12:
         offset = r.i64()
         size = r.i32()
+        if size <= 0:
+            # CRCs are deliberately not checked (TCP already checksums),
+            # so a corrupt/malicious size field must be rejected here: a
+            # negative size would walk the reader BACKWARD and loop
+            # forever.
+            raise IOError(f"kafka message set: invalid message size {size}")
         if r.remaining() < size:
             break
         m = _Reader(r.take(size))
@@ -256,6 +262,8 @@ class KafkaClient:
         self.mode: Optional[str] = None  # "v0" | "v2" once negotiated
         self._corr = 0
         self._socks: dict[tuple, socket.socket] = {}
+        #: (topic, partition) -> leader (host, port), filled by metadata().
+        self._leaders: dict[tuple, tuple] = {}
         self._lock = threading.Lock()
 
     def _sock(self, addr) -> socket.socket:
@@ -353,8 +361,19 @@ class KafkaClient:
             return self.mode
         try:
             vers = self.api_versions()
+        except (ConnectionError, TimeoutError) as e:
+            # The broker is UNREACHABLE (refused / timed out) — that says
+            # nothing about its dialect. Do NOT cache a mode: locking v0
+            # here would permanently break against a Kafka>=4.0 broker
+            # that merely started after us. The caller's retry loop
+            # renegotiates once the broker is up.
+            raise IOError(
+                f"kafka broker unreachable at {self.bootstrap[0]}:"
+                f"{self.bootstrap[1]}: {e}"
+            ) from e
         except (OSError, EOFError):
-            # Pre-0.10 broker (drops unknown APIs): v0 is all it speaks.
+            # CONNECTED but the broker dropped the unknown ApiVersions
+            # request: a pre-0.10 broker — v0 is all it speaks.
             self.mode = "v0"
             return self.mode
 
@@ -420,15 +439,37 @@ class KafkaClient:
             for _ in range(r.i32()):
                 r.i16()  # partition error
                 pid = r.i32()
-                r.i32()  # leader
+                leader = r.i32()
                 for _ in range(r.i32()):
                     r.i32()  # replicas
                 for _ in range(r.i32()):
                     r.i32()  # isr
                 parts.append(pid)
+                if name is not None and leader in brokers:
+                    # Cache the partition leader: produce/fetch/
+                    # list_offsets route to it (multi-broker clusters
+                    # answer NOT_LEADER from the bootstrap node).
+                    self._leaders[(name, pid)] = brokers[leader]
             if terr == 0 and name is not None:
                 out[name] = parts
         return brokers, out
+
+    def _leader_addr(self, topic: str, partition: int):
+        """Cached partition-leader address (None -> bootstrap)."""
+        return self._leaders.get((topic, partition))
+
+    def _data_plane(self, api_name: str, topic: str, partition: int, fn):
+        """Run a leader-routed data-plane request; on a stale-metadata
+        error (NOT_LEADER / UNKNOWN_TOPIC — e.g. after a leader election)
+        refresh metadata once and retry against the new leader."""
+        try:
+            return fn(self._leader_addr(topic, partition))
+        except KafkaProtocolError as e:
+            if e.code not in KafkaProtocolError.STALE_META_CODES:
+                raise
+            self._leaders.pop((topic, partition), None)
+            self.metadata([topic])
+            return fn(self._leader_addr(topic, partition))
 
     def produce(self, topic: str, partition: int,
                 entries: "list[tuple[bytes | None, bytes]]",
@@ -444,7 +485,6 @@ class KafkaClient:
                 + struct.pack(">i", 1) + struct.pack(">i", partition)
                 + _enc_bytes(ms)
             )
-            r = self._roundtrip(_API_PRODUCE, 3, body)
         else:
             ms = encode_message_set(entries, codec=codec)
             body = (
@@ -453,17 +493,23 @@ class KafkaClient:
                 + struct.pack(">i", 1) + struct.pack(">i", partition)
                 + struct.pack(">i", len(ms)) + ms
             )
-            r = self._roundtrip(_API_PRODUCE, 0, body)
-        for _ in range(r.i32()):
-            r.string()
+
+        def run(addr):
+            r = self._roundtrip(_API_PRODUCE, 3 if v2 else 0, body,
+                                addr=addr)
             for _ in range(r.i32()):
-                r.i32()  # partition
-                err = r.i16()
-                base = r.i64()
-                if err:
-                    raise IOError(f"kafka produce error {err} on {topic}")
-                return base
-        raise IOError("kafka produce: empty response")
+                r.string()
+                for _ in range(r.i32()):
+                    r.i32()  # partition
+                    err = r.i16()
+                    base = r.i64()
+                    if err:
+                        raise KafkaProtocolError("produce", err,
+                                                 f" on {topic}")
+                    return base
+            raise IOError("kafka produce: empty response")
+
+        return self._data_plane("produce", topic, partition, run)
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20, max_wait_ms: int = 0):
@@ -477,8 +523,6 @@ class KafkaClient:
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes)
             )
-            r = self._roundtrip(_API_FETCH, 4, body)
-            r.i32()  # throttle_time_ms
         else:
             body = (
                 struct.pack(">iii", -1, max_wait_ms, 0)
@@ -486,68 +530,79 @@ class KafkaClient:
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes)
             )
-            r = self._roundtrip(_API_FETCH, 0, body)
-        for _ in range(r.i32()):
-            r.string()
+
+        def run(addr):
+            r = self._roundtrip(_API_FETCH, 4 if v2 else 0, body, addr=addr)
+            if v2:
+                r.i32()  # throttle_time_ms
             for _ in range(r.i32()):
-                r.i32()  # partition
-                err = r.i16()
-                hw = r.i64()
-                if v2:
-                    r.i64()  # last_stable_offset
-                    n_aborted = r.i32()  # nullable array: -1 == none
-                    for _ in range(max(n_aborted, 0)):
-                        r.i64()  # producer_id
-                        r.i64()  # first_offset
-                ms = r.bytes_() or b""
-                if err:
-                    raise IOError(f"kafka fetch error {err} on {topic}")
-                msgs = (decode_record_batches(ms) if v2
-                        else decode_message_set(ms))
-                # A batch's base offset can precede the requested offset
-                # (broker returns whole batches): drop already-seen records.
-                return hw, [m for m in msgs if m[0] >= offset]
-        return 0, []
+                r.string()
+                for _ in range(r.i32()):
+                    r.i32()  # partition
+                    err = r.i16()
+                    hw = r.i64()
+                    if v2:
+                        r.i64()  # last_stable_offset
+                        n_aborted = r.i32()  # nullable array: -1 == none
+                        for _ in range(max(n_aborted, 0)):
+                            r.i64()  # producer_id
+                            r.i64()  # first_offset
+                    ms = r.bytes_() or b""
+                    if err:
+                        raise KafkaProtocolError("fetch", err, f" on {topic}")
+                    msgs = (decode_record_batches(ms) if v2
+                            else decode_message_set(ms))
+                    # A batch's base offset can precede the requested
+                    # offset (broker returns whole batches): drop
+                    # already-seen records.
+                    return hw, [m for m in msgs if m[0] >= offset]
+            return 0, []
+
+        return self._data_plane("fetch", topic, partition, run)
 
     def list_offsets(self, topic: str, partition: int, time_ms: int = -2) -> int:
         """time_ms -2 = earliest, -1 = latest."""
         v2 = self.negotiate() == "v2"
-        if v2:
+
+        def run(addr):
+            if v2:
+                body = (
+                    struct.pack(">i", -1)
+                    + struct.pack(">i", 1) + _enc_str(topic)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">iq", partition, time_ms)
+                )
+                r = self._roundtrip(_API_LIST_OFFSETS, 1, body, addr=addr)
+                for _ in range(r.i32()):
+                    r.string()
+                    for _ in range(r.i32()):
+                        r.i32()
+                        err = r.i16()
+                        r.i64()  # timestamp
+                        off = r.i64()
+                        if err:
+                            raise KafkaProtocolError("list_offsets", err)
+                        return off
+                return 0
             body = (
                 struct.pack(">i", -1)
                 + struct.pack(">i", 1) + _enc_str(topic)
                 + struct.pack(">i", 1)
-                + struct.pack(">iq", partition, time_ms)
+                + struct.pack(">iqi", partition, time_ms, 1)
             )
-            r = self._roundtrip(_API_LIST_OFFSETS, 1, body)
+            r = self._roundtrip(_API_LIST_OFFSETS, 0, body, addr=addr)
             for _ in range(r.i32()):
                 r.string()
                 for _ in range(r.i32()):
                     r.i32()
                     err = r.i16()
-                    r.i64()  # timestamp
-                    off = r.i64()
+                    offs = [r.i64() for _ in range(r.i32())]
                     if err:
-                        raise IOError(f"kafka list_offsets error {err}")
-                    return off
+                        raise KafkaProtocolError("list_offsets", err)
+                    return offs[0] if offs else 0
             return 0
-        body = (
-            struct.pack(">i", -1)
-            + struct.pack(">i", 1) + _enc_str(topic)
-            + struct.pack(">i", 1)
-            + struct.pack(">iqi", partition, time_ms, 1)
-        )
-        r = self._roundtrip(_API_LIST_OFFSETS, 0, body)
-        for _ in range(r.i32()):
-            r.string()
-            for _ in range(r.i32()):
-                r.i32()
-                err = r.i16()
-                offs = [r.i64() for _ in range(r.i32())]
-                if err:
-                    raise IOError(f"kafka list_offsets error {err}")
-                return offs[0] if offs else 0
-        return 0
+
+        return self._data_plane("list_offsets", topic, partition, run)
 
     # -- consumer-group coordination (all v0/v1 — spoken by every broker
     #    since 0.9; the reference consumes through librdkafka's full group
@@ -699,6 +754,19 @@ class KafkaClient:
                     raise IOError(f"kafka OffsetFetch error {err}")
                 out[(topic, pid)] = off
         return out
+
+
+class KafkaProtocolError(IOError):
+    """Data-plane error carrying the Kafka error code (1
+    OFFSET_OUT_OF_RANGE triggers an offset reset; 3 UNKNOWN_TOPIC /
+    6 NOT_LEADER_FOR_PARTITION trigger a metadata refresh + retry)."""
+
+    #: stale partition-leader cache: refresh metadata and retry once.
+    STALE_META_CODES = (3, 6)
+
+    def __init__(self, api: str, code: int, detail: str = ""):
+        super().__init__(f"kafka {api} error {code}{detail}")
+        self.code = code
 
 
 class KafkaGroupError(IOError):
@@ -909,13 +977,25 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                     coord = self._coordinator(refresh=True)
                     continue
                 raise
+            except (ConnectionError, TimeoutError):
+                # Dead coordinator endpoint: re-resolve and retry.
+                coord = self._coordinator(refresh=True)
+                continue
             self._member_id = mid
             self._generation = gen
             if leader == mid:
-                _, tp = self.client.metadata(list(self._subscribed))
+                # Assign over the UNION of every member's subscription
+                # (Java's RangeAssignor semantics) — a topic another
+                # member sees but this leader doesn't (metadata lag)
+                # must not silently go unassigned.
+                union = sorted(
+                    set(self._subscribed).union(
+                        *(set(sub) for _m, sub in members)
+                    )
+                )
+                _, tp = self.client.metadata(union)
                 plan = range_assign(
-                    members,
-                    {t: tp.get(t, [0]) for t in self._subscribed},
+                    members, {t: tp.get(t, [0]) for t in union}
                 )
                 assignments = [(m, plan.get(m, {})) for m, _ in members]
             else:
@@ -966,6 +1046,13 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                     raise
                 else:
                     need_join = True
+            except OSError:
+                # Transport-level failure (coordinator host gone): a dead
+                # TCP endpoint can never return the COORD error codes, so
+                # re-resolve the coordinator here or grouped consumption
+                # never recovers from a coordinator host move.
+                self._coordinator(refresh=True)
+                need_join = True
         if need_join:
             self._rejoin(topics)
         return True
@@ -999,9 +1086,26 @@ class KafkaQueueSource(MessageProducer, MessageSource):
                 if offset is None:
                     offset = self.client.list_offsets(topic, pid, -2)
                 while True:
-                    _, msgs = self.client.fetch(
-                        topic, pid, offset, max_wait_ms=timeout_ms
-                    )
+                    try:
+                        _, msgs = self.client.fetch(
+                            topic, pid, offset, max_wait_ms=timeout_ms
+                        )
+                    except KafkaProtocolError as e:
+                        if e.code != 1:  # OFFSET_OUT_OF_RANGE
+                            raise
+                        # Persisted/committed offset precedes the log
+                        # start (node down past retention, or the topic
+                        # was recreated): reset to earliest instead of
+                        # wedging the stream forever on a dead offset.
+                        reset = self.client.list_offsets(topic, pid, -2)
+                        log.warning(
+                            "kafka offset %d out of range for %s[%d]; "
+                            "resetting to earliest %d", offset, topic,
+                            pid, reset,
+                        )
+                        offset = reset
+                        self._offsets[(topic, pid)] = offset
+                        continue
                     if not msgs:
                         break
                     for moff, _key, value in msgs:
@@ -1023,12 +1127,23 @@ class KafkaQueueSource(MessageProducer, MessageSource):
             to_commit = {tp_: off for tp_, off in self._offsets.items()
                          if tp_ in mine}
             if to_commit:
-                self.client.offset_commit(
-                    self.group_id, to_commit,
-                    generation=self._generation,
-                    member_id=self._member_id,
-                    addr=self._coordinator(),
-                )
+                try:
+                    self.client.offset_commit(
+                        self.group_id, to_commit,
+                        generation=self._generation,
+                        member_id=self._member_id,
+                        addr=self._coordinator(),
+                    )
+                except (ConnectionError, TimeoutError):
+                    # Coordinator host moved: re-resolve once and retry
+                    # (the error-code path below cannot fire on a dead
+                    # TCP endpoint).
+                    self.client.offset_commit(
+                        self.group_id, to_commit,
+                        generation=self._generation,
+                        member_id=self._member_id,
+                        addr=self._coordinator(refresh=True),
+                    )
         if self._offsets_path is None:
             return
         tmp = self._offsets_path.with_suffix(".tmp")

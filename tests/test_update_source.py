@@ -899,3 +899,73 @@ def test_kafka_coordinator_failover():
             broker2.stop()
     finally:
         broker.stop()
+
+
+def test_kafka_negative_message_size_rejected():
+    """A corrupt/malicious negative size field must raise, not walk the
+    reader backward forever (CRCs are deliberately unchecked)."""
+    import struct
+
+    from hugectr_backend_tpu.update.kafka_lite import decode_message_set
+
+    raw = struct.pack(">qi", 0, -5) + b"\x00" * 16
+    with pytest.raises(IOError, match="invalid message size"):
+        decode_message_set(raw)
+
+
+def test_kafka_negotiate_unreachable_does_not_lock_v0():
+    """A merely-unreachable broker must NOT be mistaken for a pre-0.10
+    broker: the dialect stays unnegotiated so a later retry can pick v2
+    (locking v0 would permanently break against a Kafka>=4.0 broker that
+    started after us)."""
+    import socket
+
+    from hugectr_backend_tpu.update.kafka_lite import KafkaClient
+
+    with socket.socket() as s:  # grab a port, then close it -> refused
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    c = KafkaClient(f"127.0.0.1:{port}", timeout_s=1.0)
+    with pytest.raises(IOError, match="unreachable"):
+        c.negotiate()
+    assert c.mode is None  # not locked; a retry renegotiates
+
+
+def test_kafka_offset_out_of_range_resets(monkeypatch):
+    """A stale offset past the broker's log start resets to earliest
+    instead of wedging the consumer forever."""
+    from hugectr_backend_tpu.update.kafka_lite import (
+        KafkaProtocolError,
+        KafkaQueueSource,
+    )
+    from hugectr_backend_tpu.update.mini_broker import MiniKafkaBroker
+
+    broker = MiniKafkaBroker(num_partitions=1).start()
+    try:
+        prod = KafkaQueueSource(f"127.0.0.1:{broker.port}")
+        keys = np.arange(3, dtype=np.int64)
+        prod.post("hps_et.m.t0", keys, np.ones((3, 4), np.float32))
+
+        c = KafkaQueueSource(f"127.0.0.1:{broker.port}")
+        # Simulate a persisted offset past retention: way beyond the log,
+        # with the broker reporting OFFSET_OUT_OF_RANGE (the mini broker
+        # serves empty instead, so inject the error once at the client).
+        c._offsets[("hps_et.m.t0", 0)] = 10_000
+        real_fetch = c.client.fetch
+        state = {"raised": False}
+
+        def fetch(topic, pid, offset, **kw):
+            if offset >= 10_000 and not state["raised"]:
+                state["raised"] = True
+                raise KafkaProtocolError("fetch", 1, f" on {topic}")
+            return real_fetch(topic, pid, offset, **kw)
+
+        monkeypatch.setattr(c.client, "fetch", fetch)
+        got = list(c.poll(10))
+        assert state["raised"]
+        assert len(got) == 1
+        np.testing.assert_array_equal(got[0][1], keys)
+        c.close()
+        prod.close()
+    finally:
+        broker.stop()
